@@ -1,0 +1,241 @@
+"""Network building blocks (Flax) for the M1 family.
+
+Parity targets (reference: tf2.5/scripts/model/unets/network_blocks.py):
+  * SEResNetBottleNeck   — :23-80
+  * GridAttentionBlock3D — :88-130
+  * MonteCarloDropout    — :137-143
+  * AxisAligned3DConvGaussian (legacy single-latent prior/posterior) — :147-191
+  * Conv1x1x1withLatentDist   (legacy latent head)                   — :195-240
+  * StitchingProbDecoder — :244-278
+
+All blocks are NDHWC, static-shape, rely on XLA to place convs on the MXU,
+and keep fp32 parameters (bf16 compute optional via ConvConfig.dtype).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.convolution import ConvConfig
+from ..ops.normalization import InstanceNorm
+from ..ops.resample import upsample_nearest
+
+
+def leaky_relu01(x: jax.Array) -> jax.Array:
+    """LeakyReLU(alpha=0.1) — the sole activation of the reference backbone."""
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+class ConfigurableDropout(nn.Module):
+    """Dropout that is train-gated ('standard') or always-on ('monte-carlo').
+
+    Monte-Carlo dropout stays active at inference for posterior sampling
+    (reference: network_blocks.py:137-143; --UNET_DROPOUT_MODE default
+    'monte-carlo', train_model.py:79). Needs an explicit 'dropout' PRNG
+    whenever active.
+    """
+
+    rate: float
+    mode: str = "standard"  # 'standard' | 'monte-carlo'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.rate == 0.0:
+            return x
+        deterministic = (not train) if self.mode == "standard" else False
+        return nn.Dropout(rate=self.rate, deterministic=deterministic)(x)
+
+
+class MonteCarloDropout(nn.Module):
+    """Always-active dropout (reference: network_blocks.py:137-143)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        del train
+        if self.rate == 0.0:
+            return x
+        return nn.Dropout(rate=self.rate, deterministic=False)(x)
+
+
+class SEResNetBottleNeck(nn.Module):
+    """SE-ResNet bottleneck (reference: network_blocks.py:23-80).
+
+    Structure: conv(f/4, k, s) -> IN -> LReLU -> conv(f/4, 3^3) -> IN -> LReLU
+    -> conv(f, 1^3) -> IN; projection shortcut (conv(f, k, s) + IN) when the
+    channel count changes; squeeze-excite gate (GAP -> 1x1x1 f/r -> LReLU ->
+    1x1x1 f -> sigmoid) applied multiplicatively.
+
+    NOTE (reference quirk, SURVEY.md §2.3-3): the gated features combine with
+    the shortcut by element-wise MULTIPLY — tf.math.multiply at
+    network_blocks.py:77 despite the "Residual Addition" comment — followed by
+    LReLU. Reproduced exactly; do not "fix" to addition.
+
+    The SE 1x1x1 convs are built without the shared conv_params in the
+    reference (network_blocks.py:45-46): glorot-uniform kernels, zero bias, no
+    L2. They are named ``se_*`` here so the loss-side regularizer skips them.
+    """
+
+    filters: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    reduction: int
+    conv_cfg: ConvConfig = ConvConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ck = self.conv_cfg.conv_kwargs()
+        residual = x
+
+        h = nn.Conv(self.filters // 4, self.kernel_size, self.strides, **ck, name="conv1")(x)
+        h = InstanceNorm(name="norm1")(h)
+        h = leaky_relu01(h)
+        h = nn.Conv(self.filters // 4, (3, 3, 3), (1, 1, 1), **ck, name="conv2")(h)
+        h = InstanceNorm(name="norm2")(h)
+        h = leaky_relu01(h)
+        h = nn.Conv(self.filters, (1, 1, 1), (1, 1, 1), **ck, name="conv3")(h)
+        x_ = InstanceNorm(name="norm3")(h)
+
+        if x.shape[-1] != self.filters:
+            residual = nn.Conv(
+                self.filters, self.kernel_size, self.strides, **ck, name="conv4"
+            )(residual)
+            residual = InstanceNorm(name="norm4")(residual)
+
+        # Squeeze-and-excitation gate (TF-default initialized, unregularized).
+        se_kwargs = dict(
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.conv_cfg.dtype,
+            param_dtype=self.conv_cfg.param_dtype,
+        )
+        s = jnp.mean(x_.astype(jnp.float32), axis=(1, 2, 3), keepdims=True).astype(x_.dtype)
+        s = nn.Conv(self.filters // self.reduction, (1, 1, 1), **se_kwargs, name="se_conv6")(s)
+        s = leaky_relu01(s)
+        s = nn.Conv(self.filters, (1, 1, 1), **se_kwargs, name="se_conv7")(s)
+        s = nn.sigmoid(s)
+        gated = x_ * s
+
+        # Reference quirk: multiplicative shortcut combine (network_blocks.py:77).
+        out = gated * residual
+        return leaky_relu01(out)
+
+
+class GridAttentionBlock3D(nn.Module):
+    """Grid attention gate (reference: network_blocks.py:88-130).
+
+    theta_x = conv(k=s=sub_samp)(x); phi_g = 1x1x1 conv(gating); phi_g is
+    nearest-upsampled to theta_x's grid; psi = 1x1x1 conv -> sigmoid; the
+    attention map is nearest-upsampled back to x's grid and multiplies x;
+    output = IN(1x1x1 conv). Returns (gated features, attention map).
+    """
+
+    inter_channels: int
+    sub_samp: Tuple[int, int, int]
+    conv_cfg: ConvConfig = ConvConfig()
+
+    @nn.compact
+    def __call__(
+        self, conv_tensor: jax.Array, gating_tensor: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        ck = self.conv_cfg.conv_kwargs()
+        x, g = conv_tensor, gating_tensor
+
+        theta_x = nn.Conv(
+            self.inter_channels, self.sub_samp, self.sub_samp, **ck, name="theta"
+        )(x)
+        phi_g = nn.Conv(self.inter_channels, (1, 1, 1), (1, 1, 1), **ck, name="phi")(g)
+        up1 = tuple(theta_x.shape[i + 1] // phi_g.shape[i + 1] for i in range(3))
+        phi_g = upsample_nearest(phi_g, up1)
+
+        f = leaky_relu01(theta_x + phi_g)
+        psi_f = nn.Conv(1, (1, 1, 1), (1, 1, 1), **ck, name="psi")(f)
+        sigm_psi_f = nn.sigmoid(psi_f)
+        up2 = tuple(x.shape[i + 1] // sigm_psi_f.shape[i + 1] for i in range(3))
+        sigm_psi_f = upsample_nearest(sigm_psi_f, up2)
+
+        y = sigm_psi_f * x
+        w_y = nn.Conv(self.inter_channels, (1, 1, 1), (1, 1, 1), **ck, name="out")(y)
+        w_y = InstanceNorm(name="norm_out")(w_y)
+        return w_y, sigm_psi_f
+
+
+class StitchingProbDecoder(nn.Module):
+    """Final 1x1x1 logits over stitched hierarchical decoder features
+    (reference: network_blocks.py:244-278)."""
+
+    num_classes: int
+    conv_cfg: ConvConfig = ConvConfig()
+
+    @nn.compact
+    def __call__(self, decoder_features: jax.Array) -> jax.Array:
+        ck = self.conv_cfg.conv_kwargs()
+        return nn.Conv(self.num_classes, (1, 1, 1), (1, 1, 1), **ck, name="logits")(
+            decoder_features
+        )
+
+
+class AxisAligned3DConvGaussian(nn.Module):
+    """Legacy single-latent Gaussian encoder (reference: network_blocks.py:147-191).
+
+    Defined-but-unwired in the reference's main path; kept for API parity.
+    Returns the flattened mu/log-sigma vector of shape (B, 2*proba_event_shape).
+    """
+
+    filters: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    strides: Tuple[Tuple[int, int, int], ...] = (
+        (1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (1, 2, 2))
+    kernel_sizes: Tuple[Tuple[int, int, int], ...] = (
+        (1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3))
+    se_reduction: Tuple[int, ...] = (8, 8, 8, 8, 8)
+    proba_event_shape: int = 256
+    conv_cfg: ConvConfig = ConvConfig()
+
+    @nn.compact
+    def __call__(
+        self, image: jax.Array, segmentation: Optional[jax.Array] = None
+    ) -> jax.Array:
+        ck = self.conv_cfg.conv_kwargs()
+        x = image if segmentation is None else jnp.concatenate(
+            [image, segmentation.astype(image.dtype)], axis=-1
+        )
+        x = nn.Conv(self.filters[0], self.kernel_sizes[0], self.strides[0], **ck)(x)
+        x = InstanceNorm()(x)
+        x = leaky_relu01(x)
+        for lvl in range(1, 5):
+            x = SEResNetBottleNeck(
+                filters=self.filters[lvl],
+                kernel_size=tuple(self.kernel_sizes[lvl]),
+                strides=tuple(self.strides[lvl]),
+                reduction=self.se_reduction[lvl],
+                conv_cfg=self.conv_cfg,
+            )(x)
+        encoding = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        mu_log_sigma = nn.Conv(
+            2 * self.proba_event_shape, (1, 1, 1), (1, 1, 1), **ck
+        )(encoding)
+        return jnp.squeeze(mu_log_sigma, axis=(1, 2, 3))
+
+
+class Conv1x1x1withLatentDist(nn.Module):
+    """Legacy latent-conditioned logits head (reference: network_blocks.py:195-240)."""
+
+    num_classes: int = 2
+    num_channels: int = 256
+    conv_cfg: ConvConfig = ConvConfig()
+
+    @nn.compact
+    def __call__(self, input_tensor: jax.Array) -> jax.Array:
+        ck = self.conv_cfg.conv_kwargs()
+        x = nn.Conv(self.num_channels // 4, (1, 3, 3), (1, 1, 1), **ck)(input_tensor)
+        x = InstanceNorm()(x)
+        x = leaky_relu01(x)
+        x = nn.Conv(self.num_channels // 16, (1, 3, 3), (1, 1, 1), **ck)(x)
+        x = InstanceNorm()(x)
+        x = leaky_relu01(x)
+        return nn.Conv(self.num_classes, (1, 1, 1), (1, 1, 1), **ck)(x)

@@ -1,0 +1,281 @@
+"""Training orchestration: jitted train/eval steps and the fit loop.
+
+Replaces the reference's Keras ``compile``/``fit`` path
+(train_model.py:230-259): one pure, donated, pjit-sharded train step —
+forward (+KL), focal/Dice loss, L2 regularization, backward, optimizer —
+compiled once and driven by a plain Python epoch loop with
+WeightsSaver/Resume semantics (callbacks.py:44-75, 195-215).
+
+Distribution: the global batch is sharded over the mesh 'data' axis
+(NamedSharding); XLA inserts the gradient all-reduce over ICI — the
+TPU-native equivalent of MirroredStrategy's NCCL all-reduce
+(train_model.py:168).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses import EvidenceLowerBound, Focal, SoftDicePlusBoundarySurface
+from ..ops.convolution import l2_penalty
+from . import schedules as sched
+
+try:  # flax>=0.8
+    from flax import struct
+except Exception:  # pragma: no cover
+    struct = None
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_optimizer(
+    name: str = "adam",
+    learning_rate: Any = 1e-3,
+    **kwargs,
+) -> optax.GradientTransformation:
+    """Reference optimizer menu (train_model.py:120-121): Adam+amsgrad or
+    SGD+nesterov(momentum 0.9)."""
+    if name == "adam":
+        return optax.amsgrad(learning_rate=learning_rate, **kwargs)
+    if name in ("momentum", "sgd"):
+        return optax.sgd(learning_rate=learning_rate, momentum=0.9, nesterov=True, **kwargs)
+    raise ValueError(f"Unknown optimizer {name!r}")
+
+
+def make_loss(
+    loss_mode: str = "distribution_focal",
+    focal_alpha=(1.0, 1.0),
+    focal_gamma: float = 2.0,
+    dsc_bd_weights=(0.5, 0.5),
+) -> Callable:
+    """Reference loss menu (train_model.py:124-125)."""
+    if loss_mode == "distribution_focal":
+        return Focal(alpha=focal_alpha, gamma=focal_gamma).loss
+    if loss_mode == "region_boundary":
+        return SoftDicePlusBoundarySurface(loss_weights=dsc_bd_weights).loss
+    raise ValueError(f"Unknown loss mode {loss_mode!r}")
+
+
+def make_train_step(
+    model,
+    seg_loss: Callable,
+    optimizer: optax.GradientTransformation,
+    elbo_beta: float = 10.0,
+    loss_weights=(1.0,),
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted train step for an M1 model (single-stage or cascaded).
+
+    Loss composition mirrors compile(loss=LOSSES, loss_weights=[1, beta])
+    (train_model.py:126-131, 230-231) plus the L2 terms the reference attaches
+    to every conv (networks.py:47-48) — here folded explicitly via l2_penalty.
+    """
+    net = model.net
+    cfg = model.config
+    probabilistic = bool(cfg["probabilistic"])
+    cascaded = bool(cfg["cascaded"])
+    k_l2 = float(cfg["kernel_regularizer"])
+    b_l2 = float(cfg["bias_regularizer"])
+    w_seg = float(loss_weights[0]) if loss_weights else 1.0
+
+    def loss_fn(params, batch, rng):
+        d_rng, l_rng = jax.random.split(rng)
+        out = net.apply({"params": params}, batch["image"], train=True,
+                        rngs={"dropout": d_rng, "latent": l_rng})
+        metrics = {}
+        if cascaded:
+            seg = w_seg * (seg_loss(batch["detection"], out["detection_1"]) +
+                           seg_loss(batch["detection"], out["detection_2"]))
+            loss = seg
+            if probabilistic:
+                kl = out["KL_1"] + out["KL_2"]
+                loss = loss + elbo_beta * kl
+                metrics["kl"] = kl
+        else:
+            det = out["prob_softmax"] if probabilistic else out["y_softmax"]
+            seg = w_seg * seg_loss(batch["detection"], det)
+            loss = seg
+            if probabilistic:
+                loss = loss + elbo_beta * out["prob_kl"]
+                metrics["kl"] = out["prob_kl"]
+        reg = l2_penalty(params, k_l2, b_l2)
+        loss = loss + reg
+        metrics.update(seg_loss=seg, reg=reg, loss=loss)
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        batch_shard = NamedSharding(mesh, P("data"))
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(repl, batch_shard, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    else:
+        train_step = jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def init_train_state(model, optimizer) -> TrainState:
+    params = model.params if model.params is not None else model.init(
+        model.config.get("seed", 0))
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def build_schedule(
+    lr_mode: str = "CALR",
+    base_lr: float = 1e-3,
+    steps_per_epoch: int = 1,
+    num_epochs: int = 250,
+    calr_params=(2.0, 1.0, 1e-3),
+    clr_params=(5e-5, 1.0, 1.25),
+):
+    """Reference LR menu (train_model.py:113-117, 246-251)."""
+    if lr_mode == "CALR":
+        return sched.cosine_decay_restarts(
+            base_lr, first_decay_steps=steps_per_epoch * num_epochs,
+            t_mul=calr_params[0], m_mul=calr_params[1], alpha=calr_params[2])
+    if lr_mode == "CLR":
+        return sched.cyclic_lr(
+            base_lr=base_lr, max_lr=clr_params[0], mode="exp_range",
+            gamma=clr_params[1], step_size=steps_per_epoch * clr_params[2])
+    return lambda step: base_lr
+
+
+def fit(
+    model,
+    x: Iterable,
+    epochs: int = 1,
+    steps_per_epoch: int = 1,
+    initial_epoch: int = 0,
+    optimizer: Any = None,
+    loss: Any = None,
+    loss_weights=None,
+    elbo_beta: float = 10.0,
+    mesh: Optional[Mesh] = None,
+    weights_dir: Optional[str] = None,
+    weights_min_epoch: int = 5,
+    store_weights_per_n_epochs: int = 5,
+    weights_overwrite: bool = False,
+    seed: int = 0,
+    log_fn: Callable[[str], None] = print,
+    verbose: int = 2,
+) -> Dict[str, list]:
+    """Epoch/step fit loop with WeightsSaver + metrics history.
+
+    ``x`` yields batches: dicts with 'image' (B,D,H,W,C) and 'detection'
+    (B,D,H,W,nc) [+ optional 'KL' target, unused — the KL is computed in-model
+    as in the reference (losses.py:52-63)].
+    """
+    if optimizer is None:
+        optimizer = make_optimizer("adam", 1e-3)
+    if callable(optimizer) is False:
+        pass
+    seg_loss = loss if callable(loss) else make_loss(loss or "distribution_focal")
+    lw = loss_weights or (1.0, elbo_beta)
+    if len(lw) > 1:
+        elbo_beta = float(lw[1])
+
+    step_fn = make_train_step(model, seg_loss, optimizer,
+                              elbo_beta=elbo_beta, loss_weights=lw, mesh=mesh)
+    state = init_train_state(model, optimizer)
+    rng = jax.random.PRNGKey(seed)
+
+    history: Dict[str, list] = {"loss": [], "seg_loss": [], "epoch_time": []}
+    it = iter(x)
+    for epoch in range(initial_epoch, epochs):
+        t0 = time.perf_counter()
+        epoch_metrics: Dict[str, list] = {}
+        for _ in range(steps_per_epoch):
+            batch = next(it)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            for k, v in metrics.items():
+                epoch_metrics.setdefault(k, []).append(v)
+        # Materialize once per epoch (keeps the device queue full within it).
+        epoch_metrics = {k: float(np.mean(jax.device_get(v))) for k, v in epoch_metrics.items()}
+        dt = time.perf_counter() - t0
+        history["loss"].append(epoch_metrics.get("loss"))
+        history["seg_loss"].append(epoch_metrics.get("seg_loss"))
+        history["epoch_time"].append(dt)
+        if verbose:
+            log_fn(f"epoch {epoch + 1}/{epochs} - "
+                   + " ".join(f"{k}: {v:.5f}" for k, v in epoch_metrics.items())
+                   + f" - {dt:.2f}s")
+
+        # WeightsSaver semantics (callbacks.py:44-75).
+        if weights_dir and ((epoch + 1) % store_weights_per_n_epochs == 0) \
+                and epoch != 0 and (epoch + 1) >= weights_min_epoch:
+            model.params = jax.device_get(state.params)
+            path = os.path.join(weights_dir, f"model_weights_{epoch + 1:03d}.npz")
+            model.save(path)
+            if verbose:
+                log_fn(f"Model Weights Saved: {path}")
+            if weights_overwrite:
+                prev = os.path.join(
+                    weights_dir,
+                    f"model_weights_{epoch + 1 - store_weights_per_n_epochs:03d}.npz")
+                if os.path.exists(prev):
+                    os.remove(prev)
+
+    model.params = jax.device_get(state.params)
+    model.opt_state = state.opt_state
+    return history
+
+
+def resume_training(model, weights_dir: str, prefix: str = "model_weights"):
+    """Scan ``weights_dir`` for the latest epoch checkpoint and reload
+    (reference callbacks.py:195-215). Returns (model, init_epoch)."""
+    init_epoch = 0
+    latest = None
+    if os.path.isdir(weights_dir):
+        for f in os.listdir(weights_dir):
+            if f.startswith(prefix) and f.endswith(".npz"):
+                try:
+                    ep = int(f[len(prefix) + 1:].split(".npz")[0])
+                except ValueError:
+                    continue
+                if ep > init_epoch:
+                    init_epoch, latest = ep, f
+    if latest is not None:
+        from ..models.m1 import M1
+
+        print("Loading Model Weights...")
+        model = M1.load(os.path.join(weights_dir, latest))
+        print("Complete: ", os.path.join(weights_dir, latest))
+        print(f"Resume Training @ Epoch {init_epoch}")
+    else:
+        print("Begin Training @ Epoch 0")
+    return model, init_epoch

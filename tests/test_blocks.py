@@ -1,0 +1,113 @@
+"""Shape/semantics goldens for core blocks vs the reference schematic
+(reference: network_blocks.py; expected topology networks.py:411-416)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prostatemr_3d_cad_cspca_tpu.models.blocks import (
+    GridAttentionBlock3D,
+    MonteCarloDropout,
+    SEResNetBottleNeck,
+    StitchingProbDecoder,
+)
+from prostatemr_3d_cad_cspca_tpu.ops import (
+    InstanceNorm,
+    upsample_nearest,
+)
+from prostatemr_3d_cad_cspca_tpu.ops.distributions import (
+    DiagGaussian,
+    kl_diag_gaussians,
+)
+
+
+def test_instance_norm_stats():
+    x = jnp.asarray(np.random.default_rng(0).normal(3.0, 2.0, (2, 4, 8, 8, 3)), jnp.float32)
+    y, _ = InstanceNorm().init_with_output(jax.random.PRNGKey(0), x)
+    m = jnp.mean(y, axis=(1, 2, 3))
+    s = jnp.std(y, axis=(1, 2, 3))
+    np.testing.assert_allclose(m, 0.0, atol=1e-5)
+    # epsilon=1e-3 biases std slightly below 1
+    np.testing.assert_allclose(s, 1.0, atol=2e-3)
+
+
+def test_se_resnet_bottleneck_shapes_and_multiply_combine():
+    blk = SEResNetBottleNeck(filters=32, kernel_size=(1, 3, 3), strides=(1, 2, 2), reduction=8)
+    x = jnp.ones((1, 4, 16, 16, 16))
+    y, variables = blk.init_with_output(jax.random.PRNGKey(0), x)
+    assert y.shape == (1, 4, 8, 8, 32)
+    # projection shortcut params exist (channels changed)
+    assert "conv4" in variables["params"]
+    # SE convs are unregularized TF-default convs
+    assert "se_conv6" in variables["params"] and "se_conv7" in variables["params"]
+
+
+def test_se_resnet_no_projection_when_channels_match():
+    blk = SEResNetBottleNeck(filters=16, kernel_size=(3, 3, 3), strides=(1, 1, 1), reduction=8)
+    x = jnp.ones((1, 4, 8, 8, 16))
+    y, variables = blk.init_with_output(jax.random.PRNGKey(0), x)
+    assert y.shape == x.shape
+    assert "conv4" not in variables["params"]
+
+
+def test_grid_attention_shapes():
+    att = GridAttentionBlock3D(inter_channels=8, sub_samp=(1, 1, 1))
+    x = jnp.ones((1, 4, 16, 16, 8))
+    g = jnp.ones((1, 2, 4, 4, 64))
+    (w_y, att_map), _ = att.init_with_output(jax.random.PRNGKey(0), x, g)
+    assert w_y.shape == (1, 4, 16, 16, 8)
+    assert att_map.shape == (1, 4, 16, 16, 1)
+    assert jnp.all(att_map >= 0) and jnp.all(att_map <= 1)
+
+
+def test_upsample_nearest_matches_repeat():
+    x = jnp.arange(2 * 2 * 3 * 1, dtype=jnp.float32).reshape(1, 2, 2, 3, 1)
+    y = upsample_nearest(x, (2, 2, 1))
+    assert y.shape == (1, 4, 4, 3, 1)
+    np.testing.assert_array_equal(np.asarray(y[0, 0, 0, :, 0]), np.asarray(y[0, 1, 1, :, 0]))
+
+
+def test_mc_dropout_active_at_eval():
+    drop = MonteCarloDropout(rate=0.5)
+    x = jnp.ones((1, 2, 8, 8, 4))
+    y = drop.apply({}, x, train=False, rngs={"dropout": jax.random.PRNGKey(0)})
+    # Active dropout at eval: zeros present, survivors scaled by 1/(1-rate).
+    arr = np.asarray(y)
+    assert (arr == 0).any() and np.isclose(arr.max(), 2.0)
+
+
+def test_diag_gaussian_kl_closed_form():
+    # KL(N(mu,s^2) || N(0,1)) per-dim closed form sanity
+    mu = jnp.asarray([[0.5, -0.25]])
+    logsig = jnp.asarray([[0.05, -0.05]])
+    q = DiagGaussian.from_mu_logsigma(mu, logsig)
+    p = DiagGaussian(loc=jnp.zeros_like(mu), scale=jnp.ones_like(mu))
+    kl = kl_diag_gaussians(q, p)
+    expect = 0.0
+    for m, ls in [(0.5, 0.05), (-0.25, -0.05)]:
+        s = np.exp(np.clip(ls, -0.1, 0.1))
+        expect += np.log(1.0 / s) + (s**2 + m**2) / 2.0 - 0.5
+    np.testing.assert_allclose(np.asarray(kl)[0], expect, rtol=1e-4)
+
+
+def test_kl_zero_for_identical():
+    mu = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 4, 4, 3)), jnp.float32)
+    q = DiagGaussian.from_mu_logsigma(mu, mu * 0.01)
+    kl = kl_diag_gaussians(q, q)
+    np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-6)
+    assert kl.shape == (2, 3, 4, 4)
+
+
+def test_logsigma_clip():
+    mu = jnp.zeros((1, 2))
+    big = jnp.full((1, 2), 10.0)
+    q = DiagGaussian.from_mu_logsigma(mu, big)
+    np.testing.assert_allclose(np.asarray(q.scale), np.exp(0.1), rtol=1e-6)
+
+
+def test_stitching_prob_decoder():
+    dec = StitchingProbDecoder(num_classes=2)
+    x = jnp.ones((1, 4, 8, 8, 24))
+    y, _ = dec.init_with_output(jax.random.PRNGKey(0), x)
+    assert y.shape == (1, 4, 8, 8, 2)
