@@ -46,8 +46,23 @@ def contour_smoothening(
     label: np.ndarray, kernel_2d=(7, 7), iterations: int = 1
 ) -> np.ndarray:
     """Per-slice 2D Gaussian blur of a (D,H,W) uint8 mask
-    (reference data_generators.py:92-97). Uses cv2 when present, else a
-    separable NumPy filter with cv2's BORDER_REFLECT_101 default border."""
+    (reference data_generators.py:92-97). Priority: cv2 (reference-exact) ->
+    native C++ (native/edt.cpp, within +/-1 gray level of cv2's fixed-point
+    rounding) -> separable NumPy filter. All use BORDER_REFLECT_101."""
+    if not _HAS_CV2:
+        try:
+            from ..utils.native import contour_smooth as _native_smooth
+        except Exception:  # pragma: no cover
+            _native_smooth = None
+        if _native_smooth is not None:
+            out = label.astype(np.uint8)
+            for _ in range(iterations):
+                got = _native_smooth(out, kernel_2d[0])
+                if got is None:
+                    break
+                out = got
+            else:
+                return out.astype(label.dtype)
     label = label.copy()
     for _ in range(iterations):
         for k in range(label.shape[0]):

@@ -247,19 +247,36 @@ class M1:
         return (x, x) if self.cascaded else x
 
     def init(self, seed: int = 0):
+        # jit the whole init: flax's default eager init dispatches thousands
+        # of tiny ops (catastrophic over a remote-device tunnel).
+        init_fn = jax.jit(
+            lambda rngs, x: self.net.init(rngs, x, train=False)["params"])
         rngs = {"params": jax.random.PRNGKey(seed),
                 "dropout": jax.random.PRNGKey(seed + 1),
                 "latent": jax.random.PRNGKey(seed + 2)}
-        variables = self.net.init(rngs, self.example_inputs(), train=False)
-        return variables["params"]
+        return init_fn(rngs, self.example_inputs())
+
+    def _apply_fn(self, train: bool, with_rng: bool):
+        key = (train, with_rng)
+        cache = self.__dict__.setdefault("_apply_cache", {})
+        if key not in cache:
+            if with_rng:
+                def fn(params, inputs, rng):
+                    d, l = jax.random.split(rng)
+                    return self.net.apply(
+                        {"params": params}, inputs, train=train,
+                        rngs={"dropout": d, "latent": l})
+            else:
+                def fn(params, inputs):
+                    return self.net.apply({"params": params}, inputs, train=train)
+            cache[key] = jax.jit(fn)
+        return cache[key]
 
     def apply(self, params, inputs, train: bool = False, rng: Optional[jax.Array] = None):
-        """Pure forward. ``rng`` seeds dropout+latent streams when needed."""
-        rngs = {}
+        """Pure jitted forward. ``rng`` seeds dropout+latent streams when needed."""
         if rng is not None:
-            d, l = jax.random.split(rng)
-            rngs = {"dropout": d, "latent": l}
-        return self.net.apply({"params": params}, inputs, train=train, rngs=rngs)
+            return self._apply_fn(train, True)(params, inputs, rng)
+        return self._apply_fn(train, False)(params, inputs)
 
     def __call__(self, inputs, train: bool = False, rng: Optional[jax.Array] = None):
         assert self.params is not None, "call .init() first or pass init_params=True"

@@ -78,10 +78,21 @@ def signed_distance_map(seg: np.ndarray) -> np.ndarray:
     res = np.zeros(seg.shape, dtype=np.float32)
     flat = seg.reshape((-1,) + seg.shape[-4:]) if seg.ndim > 4 else seg[None]
     out = res.reshape(flat.shape)
+
+    try:  # native C++ path (fastest; see native/edt.cpp)
+        from ..utils.native import signed_distance_3d as _native_sdm
+    except Exception:  # pragma: no cover
+        _native_sdm = None
+
     for b in range(flat.shape[0]):
         for c in range(flat.shape[-1]):
             posmask = flat[b, ..., c].astype(bool)
-            if posmask.any():
+            if not posmask.any():
+                continue
+            native = _native_sdm(posmask) if _native_sdm is not None else None
+            if native is not None:
+                out[b, ..., c] = native
+            else:
                 negmask = ~posmask
                 out[b, ..., c] = (
                     _edt(negmask) * negmask - (_edt(posmask) - 1) * posmask

@@ -69,9 +69,13 @@ def halo_exchange(
     from_right = jax.lax.ppermute(
         lo_edge, axis_name, [(i, (i - 1) % n) for i in range(n)])
 
-    # global-boundary devices replicate their own edge instead of wrapping
-    from_left = jnp.where(idx == 0, lo_edge, from_left)
-    from_right = jnp.where(idx == n - 1, hi_edge, from_right)
+    # Global-boundary devices ZERO-fill their outer halo: that reproduces the
+    # implicit zero padding a SAME conv applies at the true volume boundary,
+    # so sharded and unsharded outputs agree voxel-for-voxel (given a halo
+    # that covers the receptive field and is a multiple of the network's
+    # cumulative stride along this axis for phase alignment).
+    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
 
     return jnp.concatenate([from_left, x, from_right], axis=spatial_axis)
 

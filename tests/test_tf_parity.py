@@ -1,0 +1,86 @@
+"""Numerical parity vs TensorFlow for the primitives whose conventions the
+reference depends on (SURVEY.md §7 hard parts): SAME padding for strided
+conv / transposed conv, instance-norm statistics, leaky-relu/sigmoid gates.
+
+These are the contracts that make TF-reference weights loadable into this
+framework. TF runs on CPU; shapes are tiny.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from flax import linen as nn  # noqa: E402
+
+from prostatemr_3d_cad_cspca_tpu.ops.normalization import InstanceNorm  # noqa: E402
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("stride,kernel", [
+    ((1, 1, 1), (1, 3, 3)),
+    ((1, 2, 2), (1, 3, 3)),
+    ((2, 2, 2), (3, 3, 3)),
+    ((1, 2, 2), (3, 3, 3)),
+])
+def test_conv3d_same_padding_matches_tf(stride, kernel):
+    x = _rand((1, 4, 8, 8, 3))
+    w = _rand((*kernel, 3, 5), seed=1)  # TF layout: (kd,kh,kw,in,out)
+    b = _rand((5,), seed=2)
+
+    tf_out = tf.nn.conv3d(
+        tf.constant(x), tf.constant(w), strides=(1, *stride, 1), padding="SAME"
+    ).numpy() + b
+
+    conv = nn.Conv(5, kernel, stride, padding="SAME")
+    params = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
+    jax_out = np.asarray(conv.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(jax_out, tf_out, atol=2e-5)
+
+
+@pytest.mark.parametrize("stride,kernel", [
+    ((1, 2, 2), (1, 3, 3)),
+    ((2, 2, 2), (3, 3, 3)),
+    ((1, 2, 2), (3, 3, 3)),
+])
+def test_conv3d_transpose_same_matches_tf(stride, kernel):
+    """flax ConvTranspose(transpose_kernel=True) == tf.keras Conv3DTranspose
+    with kernel layout (kd,kh,kw,out,in). Output shape = input * stride."""
+    x = _rand((1, 4, 8, 8, 3))
+    w_tf = _rand((*kernel, 5, 3), seed=3)  # TF transpose layout: (k..., out, in)
+    lay = tf.keras.layers.Conv3DTranspose(
+        5, kernel, strides=stride, padding="same", use_bias=False)
+    lay.build(x.shape)
+    lay.kernel.assign(w_tf)
+    tf_out = lay(tf.constant(x)).numpy()
+
+    conv = nn.ConvTranspose(5, kernel, stride, padding="SAME", use_bias=False,
+                            transpose_kernel=True)
+    params = {"params": {"kernel": jnp.asarray(w_tf)}}
+    jax_out = np.asarray(conv.apply(params, jnp.asarray(x)))
+    assert jax_out.shape == tf_out.shape
+    np.testing.assert_allclose(jax_out, tf_out, atol=2e-5)
+
+
+def test_instance_norm_matches_keras_groupnorm():
+    x = _rand((2, 4, 8, 8, 6), seed=4)
+    gn = tf.keras.layers.GroupNormalization(groups=-1, epsilon=1e-3)
+    gn.build(x.shape)
+    tf_out = gn(tf.constant(x)).numpy()
+    jax_out = np.asarray(
+        InstanceNorm().apply(
+            {"params": {"scale": jnp.ones((6,)), "bias": jnp.zeros((6,))}},
+            jnp.asarray(x)))
+    np.testing.assert_allclose(jax_out, tf_out, atol=2e-5)
+
+
+def test_leaky_relu_alpha_01_matches_tf():
+    x = _rand((64,), seed=5)
+    tf_out = tf.nn.leaky_relu(tf.constant(x), alpha=0.1).numpy()
+    jax_out = np.asarray(nn.leaky_relu(jnp.asarray(x), negative_slope=0.1))
+    np.testing.assert_allclose(jax_out, tf_out, atol=1e-7)
