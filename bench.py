@@ -23,14 +23,17 @@ def _measure(fn, args, iters: int, warmup: int = 2) -> float:
 
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    # Belt-and-braces on experimental platforms: a tiny host transfer forces
-    # real completion even if block_until_ready under-waits.
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):  # best-of-3: the device tunnel has high variance
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        # Belt-and-braces on experimental platforms: a tiny host transfer
+        # forces real completion even if block_until_ready under-waits.
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -64,9 +67,10 @@ def main():
     print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
     for tag, dtype, batch in (
-        ("fp32_b1", None, 1),
         ("fp32_b8", None, 8),
         ("bf16_b8", jnp.bfloat16, 8),
+        ("bf16_b16", jnp.bfloat16, 16),
+        ("bf16_b32", jnp.bfloat16, 32),
     ):
         net = (fp32_model if dtype is None else build(dtype)).net
 
@@ -80,7 +84,7 @@ def main():
             jnp.float32 if dtype is None else dtype,
         )
         t0 = time.perf_counter()
-        iters = 20 if batch == 1 else 10
+        iters = 10
         dt = _measure(detect, (params, x), iters)
         vps = batch * iters / dt
         print(f"# {tag}: compile+run {time.perf_counter() - t0:.1f}s "

@@ -137,7 +137,8 @@ def main(argv=None):
         schedule = build_schedule(
             args.LR_MODE, args.BASE_LR, steps_per_epoch, args.NUM_EPOCHS,
             calr_params=args.CALR_PARAMS, clr_params=args.CLR_PARAMS)
-        optimizer = make_optimizer(args.OPTIMIZER, schedule)
+        optimizer = make_optimizer(
+            args.OPTIMIZER, schedule, freeze_first_n=args.FREEZE_LAYERS)
         seg_loss = make_loss(
             args.LOSS_MODE, focal_alpha=args.FOCAL_LOSS_ALPHA,
             focal_gamma=args.FOCAL_LOSS_GAMMA,
@@ -201,6 +202,24 @@ def main(argv=None):
                     "Enable 'RESUME_TRAIN'.")
             os.makedirs(fold_dir)
 
+        # Train-time validation (implements the reference's TBA callbacks,
+        # train_model.py:240-245, with UNET_PROBA_ITER MC sampling).
+        from .data.generators import load_sample
+        from .train.validation import (AnatomySegmentationValidation,
+                                       PCaDetectionValidation)
+
+        valid_rows = read_manifest(valid_manifest)
+        valid_samples = [
+            load_sample(r, args.TRAIN_OBJ, bool(args.UNET_PROBABILISTIC), "valid")
+            for r in valid_rows
+        ]
+        detect_fn = model.get_detect_model()
+        if args.TRAIN_OBJ == "lesion":
+            validate_fn = PCaDetectionValidation(
+                detect_fn, valid_samples, proba_iter=args.UNET_PROBA_ITER)
+        else:
+            validate_fn = AnatomySegmentationValidation(detect_fn, valid_samples)
+
         fit(
             model, batches,
             epochs=args.NUM_EPOCHS,
@@ -215,6 +234,9 @@ def main(argv=None):
             weights_min_epoch=args.WEIGHTS_MIN_EPOCH,
             store_weights_per_n_epochs=args.STORE_WEIGHTS_PER_N_EPOCHS,
             weights_overwrite=bool(args.WEIGHTS_OVERWRITE),
+            validate_fn=validate_fn,
+            validate_per_n_epochs=args.VALIDATE_PER_N_EPOCHS,
+            validate_min_epoch=args.VALIDATE_MIN_EPOCH,
         )
 
 

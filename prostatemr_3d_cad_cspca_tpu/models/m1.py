@@ -350,6 +350,32 @@ class M1:
         return model
 
     # -------------------------------------------------------------- summary
+    def describe(self, batch_size: int = 1, max_lines: int = 200):
+        """Per-stage tensor-shape dump (reference M1Core.summary,
+        networks.py:761-782, SHOW_SUMMARY flag). Uses jax.eval_shape over
+        captured intermediates — no compute, no compile."""
+        assert self.params is not None
+
+        def fn(params, x):
+            _, mods = self.net.apply(
+                {"params": params}, x, train=False,
+                capture_intermediates=True, mutable=["intermediates"])
+            return mods["intermediates"]
+
+        shapes = jax.eval_shape(fn, self.params, self.example_inputs(batch_size))
+        lines = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(shapes)[0]:
+            name = "/".join(
+                str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
+                for p in path)
+            if hasattr(leaf, "shape"):
+                lines.append(f"{name:60s} {tuple(leaf.shape)}")
+        for line in lines[:max_lines]:
+            print(line)
+        if len(lines) > max_lines:
+            print(f"... ({len(lines) - max_lines} more)")
+        return lines
+
     def summary(self):
         n_params = 0
         if self.params is not None:

@@ -48,6 +48,18 @@ from .blocks import (
 Tuple3 = Tuple[int, int, int]
 
 
+
+def _ConvT(features, kernel_size, strides, **kw):
+    """ConvTranspose in the TF Conv3DTranspose convention.
+
+    transpose_kernel=True stores the kernel as (spatial..., out, in) and
+    computes the exact gradient-of-conv operation tf.keras Conv3DTranspose
+    performs (verified numerically in tests/test_tf_parity.py) — making
+    reference-trained weights directly importable.
+    """
+    return nn.ConvTranspose(features, kernel_size, strides,
+                            transpose_kernel=True, **kw)
+
 class M1Core(nn.Module):
     """Backbone network. See module docstring for reference citations."""
 
@@ -104,28 +116,28 @@ class M1Core(nn.Module):
         self.att3 = GridAttentionBlock3D(f[3], tuple(self.att_sub_samp[3]), self.conv_cfg)
 
         # Nested decoder stage 3 (networks.py:496-502).
-        self.convtd3 = nn.ConvTranspose(f[3], k[4], s[4], **ck)
-        self.convtd3_up1 = nn.ConvTranspose(f[2], k[3], s[3], **ck)
-        self.convtd3_up2 = nn.ConvTranspose(f[1], k[2], s[2], **ck)
-        self.convtd3_up3 = nn.ConvTranspose(f[0], k[1], s[1], **ck)
+        self.convtd3 = _ConvT(f[3], k[4], s[4], **ck)
+        self.convtd3_up1 = _ConvT(f[2], k[3], s[3], **ck)
+        self.convtd3_up2 = _ConvT(f[1], k[2], s[2], **ck)
+        self.convtd3_up3 = _ConvT(f[0], k[1], s[1], **ck)
         self.sersd3 = sers(f[3], k[3], (1, 1, 1), r[3])
         self.dropd3 = drop(self.dropout_rate)
 
         # Stage 2 (networks.py:505-510).
-        self.convtd2 = nn.ConvTranspose(f[2], k[3], s[3], **ck)
-        self.convtd2_up1 = nn.ConvTranspose(f[1], k[2], s[2], **ck)
-        self.convtd2_up2 = nn.ConvTranspose(f[0], k[1], s[1], **ck)
+        self.convtd2 = _ConvT(f[2], k[3], s[3], **ck)
+        self.convtd2_up1 = _ConvT(f[1], k[2], s[2], **ck)
+        self.convtd2_up2 = _ConvT(f[0], k[1], s[1], **ck)
         self.sersd2 = sers(f[2], k[2], (1, 1, 1), r[2])
         self.dropd2 = drop(self.dropout_rate)
 
         # Stage 1 (networks.py:513-517).
-        self.convtd1 = nn.ConvTranspose(f[1], k[2], s[2], **ck)
-        self.convtd1_up1 = nn.ConvTranspose(f[0], k[1], s[1], **ck)
+        self.convtd1 = _ConvT(f[1], k[2], s[2], **ck)
+        self.convtd1_up1 = _ConvT(f[0], k[1], s[1], **ck)
         self.sersd1 = sers(f[1], k[1], (1, 1, 1), r[1])
         self.dropd1 = drop(self.dropout_rate)
 
         # Stage 0 (networks.py:520-523).
-        self.convtd0 = nn.ConvTranspose(f[0], k[1], s[1], **ck)
+        self.convtd0 = _ConvT(f[0], k[1], s[1], **ck)
         self.sersd0 = sers(f[0], k[0], (1, 1, 1), r[0])
         self.dropd0 = drop(self.dropout_rate / 2)
 
@@ -144,7 +156,7 @@ class M1Core(nn.Module):
                 nn.Conv(2 * dims[i], (1, 1, 1), (1, 1, 1), **ck) if dims[i] != 0 else None
                 for i in range(4)
             ]
-            self.dec_hi = [nn.ConvTranspose(fr[i + 1], kr[i], sr[i], **ck) for i in range(4)]
+            self.dec_hi = [_ConvT(fr[i + 1], kr[i], sr[i], **ck) for i in range(4)]
             self.sersp = [sers(fr[i + 1], kr[i + 1], (1, 1, 1), rr[i + 1]) for i in range(4)]
             self.dropp = [drop(self.dropout_rate) for _ in range(4)]
 

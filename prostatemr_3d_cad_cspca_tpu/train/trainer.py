@@ -54,15 +54,40 @@ class TrainState:
 def make_optimizer(
     name: str = "adam",
     learning_rate: Any = 1e-3,
+    freeze_first_n: Optional[int] = None,
     **kwargs,
 ) -> optax.GradientTransformation:
     """Reference optimizer menu (train_model.py:120-121): Adam+amsgrad or
-    SGD+nesterov(momentum 0.9)."""
+    SGD+nesterov(momentum 0.9).
+
+    ``freeze_first_n`` reproduces --FREEZE_LAYERS (train_model.py:211-215):
+    the first N top-level modules (sorted by param-tree path, the JAX
+    analogue of Keras layer order) receive zero updates.
+    """
     if name == "adam":
-        return optax.amsgrad(learning_rate=learning_rate, **kwargs)
-    if name in ("momentum", "sgd"):
-        return optax.sgd(learning_rate=learning_rate, momentum=0.9, nesterov=True, **kwargs)
-    raise ValueError(f"Unknown optimizer {name!r}")
+        tx = optax.amsgrad(learning_rate=learning_rate, **kwargs)
+    elif name in ("momentum", "sgd"):
+        tx = optax.sgd(learning_rate=learning_rate, momentum=0.9, nesterov=True,
+                       **kwargs)
+    else:
+        raise ValueError(f"Unknown optimizer {name!r}")
+
+    if freeze_first_n is not None and freeze_first_n not in (0, 9999):
+        def label_fn(params):
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            modules = sorted({
+                "/".join(str(p.key) for p in path[:2]) for path, _ in flat})
+            frozen = set(modules[:freeze_first_n])
+
+            def label(path, _):
+                mod = "/".join(str(p.key) for p in path[:2])
+                return "frozen" if mod in frozen else "train"
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
+    return tx
 
 
 def make_loss(
@@ -189,6 +214,9 @@ def fit(
     weights_min_epoch: int = 5,
     store_weights_per_n_epochs: int = 5,
     weights_overwrite: bool = False,
+    validate_fn: Optional[Callable] = None,
+    validate_per_n_epochs: int = 5,
+    validate_min_epoch: int = 5,
     seed: int = 0,
     log_fn: Callable[[str], None] = print,
     verbose: int = 2,
@@ -201,8 +229,6 @@ def fit(
     """
     if optimizer is None:
         optimizer = make_optimizer("adam", 1e-3)
-    if callable(optimizer) is False:
-        pass
     seg_loss = loss if callable(loss) else make_loss(loss or "distribution_focal")
     lw = loss_weights or (1.0, elbo_beta)
     if len(lw) > 1:
@@ -234,6 +260,15 @@ def fit(
             log_fn(f"epoch {epoch + 1}/{epochs} - "
                    + " ".join(f"{k}: {v:.5f}" for k, v in epoch_metrics.items())
                    + f" - {dt:.2f}s")
+
+        # Train-time validation (reference 'TBA' callbacks, train_model.py:240-245).
+        if validate_fn is not None and ((epoch + 1) % validate_per_n_epochs == 0) \
+                and (epoch + 1) >= validate_min_epoch:
+            val = validate_fn(jax.device_get(state.params))
+            history.setdefault("val", []).append({"epoch": epoch + 1, **val})
+            if verbose:
+                log_fn("validation @ epoch %d - %s" % (
+                    epoch + 1, " ".join(f"{k}: {v:.4f}" for k, v in val.items())))
 
         # WeightsSaver semantics (callbacks.py:44-75).
         if weights_dir and ((epoch + 1) % store_weights_per_n_epochs == 0) \

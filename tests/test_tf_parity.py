@@ -84,3 +84,39 @@ def test_leaky_relu_alpha_01_matches_tf():
     tf_out = tf.nn.leaky_relu(tf.constant(x), alpha=0.1).numpy()
     jax_out = np.asarray(nn.leaky_relu(jnp.asarray(x), negative_slope=0.1))
     np.testing.assert_allclose(jax_out, tf_out, atol=1e-7)
+
+
+def test_full_m1_forward_parity():
+    """End-to-end oracle (BASELINE.md config 1): identical weights through the
+    reconstructed Keras M1 and the Flax M1 must give voxel-identical softmax
+    outputs. This is the strongest structural-parity evidence available in
+    this image (the original TF2.5 stack's deps are absent)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/benchmarks")
+    from tf_cpu_baseline import build_m1_tf
+
+    from prostatemr_3d_cad_cspca_tpu.models import M1
+    from prostatemr_3d_cad_cspca_tpu.utils.tf_import import import_keras_m1_weights
+
+    filters = (4, 8, 12, 16, 24)
+    strides = ((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2))
+    kernels = ((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3))
+    se_red = (2, 2, 2, 2, 2)
+    spatial = (4, 16, 16)
+
+    tf_model = build_m1_tf(
+        input_shape=(*spatial, 3), num_classes=2, filters=filters,
+        strides=strides, kernels=kernels, se_reduction=se_red)
+    model = M1(
+        input_spatial_dims=spatial, input_channels=3, num_classes=2,
+        filters=filters, strides=strides, kernel_sizes=kernels,
+        se_reduction=se_red,
+        att_sub_samp=((1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1)),
+        dropout_rate=0.0, summary=False)
+
+    params = import_keras_m1_weights(tf_model.layers, model.params)
+    x = _rand((2, *spatial, 3), seed=9)
+    tf_out = tf_model(tf.constant(x), training=False).numpy()
+    jax_out = np.asarray(model.apply(params, jnp.asarray(x))["y_softmax"])
+    np.testing.assert_allclose(jax_out, tf_out, atol=5e-4)
