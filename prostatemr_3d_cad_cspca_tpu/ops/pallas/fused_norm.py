@@ -21,6 +21,14 @@ Autodiff: ``fused_instance_norm_lrelu`` carries a custom VJP whose backward
 is the standard IN gradient composed in XLA (numerically identical to the
 reference formulation); the Pallas fast path is forward-only by design —
 inference is where the fusion pays (training re-uses activations anyway).
+
+STATUS (measured on v5e via the device tunnel, fp32, batch 4): correct to
+1e-6 vs XLA, but NOT yet faster — XLA's own fusion wins at the M1 shapes
+(e.g. stem 20x160x160x16: pallas 11.2ms vs XLA 4.5ms; parity at C>=64).
+The two-pallas_call structure pays two dispatches and the 64KB stat tiles
+under-utilize the DMA pipeline. The model therefore keeps the XLA path;
+this kernel stays as the scaffold for a single-call double-buffered rewrite
+(measured numbers in this docstring are the bar to beat).
 """
 
 from __future__ import annotations
@@ -38,7 +46,12 @@ EPS_DEFAULT = 1e-3
 
 
 def _stats_kernel(x_ref, sum_ref, sq_ref, acc):
-    """Grid (B, nS): accumulate per-lane sum/sumsq over the S tiles."""
+    """Grid (B, nS): accumulate per-lane sum/sumsq over the S tiles.
+
+    sum_ref/sq_ref are FULL (B, 128) arrays (Mosaic requires output blocks
+    tiled to (8,128) or whole-array); each batch row writes its own slice.
+    """
+    b = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -51,8 +64,8 @@ def _stats_kernel(x_ref, sum_ref, sq_ref, acc):
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
-        sum_ref[0, :] = acc[0, :]
-        sq_ref[0, :] = acc[1, :]
+        sum_ref[b, :] = acc[0, :]
+        sq_ref[b, :] = acc[1, :]
 
 
 def _norm_kernel(x_ref, mu_ref, inv_ref, scale_ref, bias_ref, o_ref, *, slope):
@@ -99,16 +112,14 @@ def fused_instance_norm_lrelu_fwd(
         in_specs=[pl.BlockSpec((1, ts, LANES), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, LANES), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, LANES), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((2, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],  # (8,128) tile-aligned; rows 0/1 used
     )(xp)
 
     # lane fold -> per-channel stats, then re-expand to lanes
