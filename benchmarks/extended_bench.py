@@ -1,0 +1,203 @@
+"""Extended benchmarks covering the BASELINE.json configuration list.
+
+Headline (config 1/2) lives in /root/repo/bench.py. This script measures:
+  3. hierarchical probabilistic M1, multi-sample MC posterior inference
+  4. full training step (focal + KL, on-device augmentation, CALR schedule)
+  5. sliding-window whole-gland inference at full resolution
+
+Writes benchmarks/results_extended.json and prints one JSON line.
+Run on the TPU chip (no JAX_PLATFORMS=cpu).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(out):
+    import jax
+
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+
+def _best_of(f, n=3, iters=5):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main(only=None):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+    import jax.numpy as jnp
+
+    from prostatemr_3d_cad_cspca_tpu.augment import AugmentParams, augment_batch
+    from prostatemr_3d_cad_cspca_tpu.infer import mc_predict, sliding_window_predict
+    from prostatemr_3d_cad_cspca_tpu.models.m1 import M1
+    from prostatemr_3d_cad_cspca_tpu.train.trainer import (
+        build_schedule, init_train_state, make_loss, make_optimizer,
+        make_train_step)
+
+    results = {}
+    rng = np.random.default_rng(0)
+
+    def guarded(name, fn):
+        try:
+            fn()
+        except Exception as e:  # record and continue — tunnel errors happen
+            import traceback
+            results[name + "_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
+            traceback.print_exc(limit=5)
+            # persist partial results immediately: a wedged device can kill
+            # the rest of the run
+            out_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "results_extended.json")
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=2)
+
+    # ---- config 3: probabilistic MC inference ------------------------------
+    prob = M1(
+        input_spatial_dims=(20, 160, 160), input_channels=4, num_classes=2,
+        filters=(16, 32, 64, 128, 256),
+        strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        se_reduction=(8, 8, 8, 8, 8), att_sub_samp=((1, 1, 1),) * 4,
+        probabilistic=True, prob_latent_dims=(3, 2, 1, 0),
+        dropout_mode="monte-carlo", dropout_rate=0.5, summary=False)
+    def config3():
+        detect = prob.get_detect_model()
+        x4 = jnp.asarray(rng.normal(size=(1, 20, 160, 160, 4)), jnp.float32)
+        n_mc = 4
+        mc = jax.jit(lambda p, x, k: mc_predict(detect, p, x, k, num_samples=n_mc))
+        key = jax.random.PRNGKey(0)
+        _sync(mc(prob.params, x4, key))
+        dt = _best_of(lambda: mc(prob.params, x4, key))
+        results["prob_mc4_samples_per_sec"] = round(n_mc / dt, 3)
+        print(f"# config3 MC({n_mc}) {dt*1e3:.1f}ms -> "
+              f"{results['prob_mc4_samples_per_sec']} samples/s", file=sys.stderr)
+
+    if only in (None, "config3"):
+        guarded("config3", config3)
+
+    # ---- config 4: full training step (augment + focal + KL) ---------------
+    schedule = build_schedule("CALR", 1e-3, steps_per_epoch=80, num_epochs=250)
+    opt = make_optimizer("adam", schedule)
+    aug = AugmentParams()
+    # augmentation fused INTO the step: one program per training step
+    step = make_train_step(prob, make_loss("distribution_focal"), opt,
+                           elbo_beta=10.0, augment_params=aug,
+                           train_obj="lesion")
+    state = init_train_state(prob, opt)
+    B = 2  # reference default batch (train_model.py:83)
+    lab = rng.integers(0, 2, size=(B, 20, 160, 160))
+    det_t = jnp.asarray(np.eye(2, dtype=np.float32)[lab])
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 20, 160, 160, 4)), jnp.float32),
+        "detection": det_t,
+    }
+    k = jax.random.PRNGKey(1)
+
+    def config4():
+        st = {"s": state}  # the step donates its state arg: thread it
+
+        def train_iter():
+            new_state, m = step(st["s"], batch, k)
+            st["s"] = new_state
+            return m["loss"]
+
+        _sync(train_iter())
+        dt = _best_of(train_iter, iters=3)
+        results["train_step_vols_per_sec"] = round(B / dt, 3)
+        print(f"# config4 train step {dt*1e3:.1f}ms -> "
+              f"{results['train_step_vols_per_sec']} vol/s", file=sys.stderr)
+
+    if only in (None, "config4"):
+        guarded("config4", config4)
+
+    # ---- config 5: sliding-window whole-gland full resolution --------------
+    det_model = M1(
+        input_spatial_dims=(20, 160, 160), input_channels=3, num_classes=2,
+        filters=(16, 32, 64, 128, 256),
+        strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        se_reduction=(8, 8, 8, 8, 8), att_sub_samp=((1, 1, 1),) * 4,
+        dropout_rate=0.0, summary=False, init_params=False)
+    det_model.params = prob.params if False else det_model.init(0)
+    net, params = det_model.net, det_model.params
+    tile_fn = jax.jit(
+        lambda x: net.apply({"params": params}, x, train=False)["y_softmax"][..., :2])
+    whole = jnp.asarray(rng.normal(size=(24, 256, 256, 3)), jnp.float32)
+
+    def config5():
+        def run_sw():
+            return sliding_window_predict(
+                tile_fn, whole, window=(20, 160, 160), overlap=0.25, batch_size=8)
+
+        _sync(run_sw())
+        dt = _best_of(run_sw, n=2, iters=2)
+        results["sliding_window_fullres_sec_per_case"] = round(dt, 3)
+        print(f"# config5 whole-gland 24x256x256 {dt:.2f}s/case", file=sys.stderr)
+
+    if only in (None, "config5"):
+        guarded("config5", config5)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results_extended.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+def run_isolated():
+    """Run each config in its own process: the device tunnel wedges when a
+    new large program is compiled while another config's state is resident
+    (observed: config4 after config3 => INVALID_ARGUMENT; standalone OK)."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    merged = {}
+    for cfg in ("config3", "config4", "config5"):
+        for attempt in range(2):
+            time.sleep(20)  # let the previous process release the device
+            proc = subprocess.run(
+                [sys.executable, here, "--only", cfg],
+                capture_output=True, text=True, timeout=1200)
+            sys.stderr.write(proc.stderr[-2000:])
+            got = False
+            for line in proc.stdout.strip().splitlines()[::-1]:
+                try:
+                    parsed = json.loads(line)
+                    ok = any(not k.endswith("_error") for k in parsed)
+                    if ok or attempt == 1:
+                        merged.update(parsed)
+                    got = ok
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if got:
+                break
+    out_path = os.path.join(os.path.dirname(here), "results_extended.json")
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(json.dumps(merged))
+
+
+if __name__ == "__main__":
+    if "--only" in sys.argv:
+        main(only=sys.argv[sys.argv.index("--only") + 1])
+    else:
+        run_isolated()

@@ -103,7 +103,6 @@ def main(argv=None):
 
     import jax
 
-    from .augment import make_augment_fn
     from .data.generators import batch_iterator, custom_data_generator
     from .data.manifest import read_manifest
     from .models.m1 import M1
@@ -166,8 +165,10 @@ def main(argv=None):
             train_manifest, train_obj=args.TRAIN_OBJ,
             probabilistic=bool(args.UNET_PROBABILISTIC), mode="train",
             shuffle_seed=f)
-        augment_fn = make_augment_fn(_parse_augm(args.AUGM_PARAMS), args.TRAIN_OBJ)
-        batches = batch_iterator(sample_gen, args.BATCH_SIZE, augment_fn)
+        # Augmentation is fused INTO the jitted train step (one program per
+        # step) rather than run as a separate host-dispatched program per
+        # batch — the TPU-native layout of the reference's tf.data map stage.
+        batches = batch_iterator(sample_gen, args.BATCH_SIZE)
 
         model = M1(
             input_spatial_dims=spatial_dims,
@@ -237,6 +238,8 @@ def main(argv=None):
             validate_fn=validate_fn,
             validate_per_n_epochs=args.VALIDATE_PER_N_EPOCHS,
             validate_min_epoch=args.VALIDATE_MIN_EPOCH,
+            augment_params=_parse_augm(args.AUGM_PARAMS),
+            train_obj=args.TRAIN_OBJ,
         )
 
 

@@ -111,6 +111,8 @@ def make_train_step(
     elbo_beta: float = 10.0,
     loss_weights=(1.0,),
     mesh: Optional[Mesh] = None,
+    augment_params=None,
+    train_obj: str = "lesion",
 ):
     """Build the jitted train step for an M1 model (single-stage or cascaded).
 
@@ -127,6 +129,20 @@ def make_train_step(
     w_seg = float(loss_weights[0]) if loss_weights else 1.0
 
     def loss_fn(params, batch, rng):
+        if augment_params is not None:
+            # Fuse the on-device augmentation INTO the step program: one
+            # compiled program per step (fewer dispatches; XLA overlaps the
+            # augmentation gathers with the leading convs).
+            from ..augment import AugmentParams, augment_sample
+
+            ap = augment_params if isinstance(augment_params, AugmentParams) \
+                else AugmentParams.from_list(augment_params)
+            rng, a_rng = jax.random.split(rng)
+            keys = jax.random.split(a_rng, batch["image"].shape[0])
+            img, lbl = jax.vmap(
+                lambda k, im, lb: augment_sample(k, im, lb, ap, train_obj)
+            )(keys, batch["image"], batch["detection"])
+            batch = dict(batch, image=img, detection=lbl)
         d_rng, l_rng = jax.random.split(rng)
         out = net.apply({"params": params}, batch["image"], train=True,
                         rngs={"dropout": d_rng, "latent": l_rng})
@@ -217,6 +233,8 @@ def fit(
     validate_fn: Optional[Callable] = None,
     validate_per_n_epochs: int = 5,
     validate_min_epoch: int = 5,
+    augment_params=None,
+    train_obj: str = "lesion",
     seed: int = 0,
     log_fn: Callable[[str], None] = print,
     verbose: int = 2,
@@ -235,7 +253,8 @@ def fit(
         elbo_beta = float(lw[1])
 
     step_fn = make_train_step(model, seg_loss, optimizer,
-                              elbo_beta=elbo_beta, loss_weights=lw, mesh=mesh)
+                              elbo_beta=elbo_beta, loss_weights=lw, mesh=mesh,
+                              augment_params=augment_params, train_obj=train_obj)
     state = init_train_state(model, optimizer)
     rng = jax.random.PRNGKey(seed)
 

@@ -110,3 +110,20 @@ def test_probabilistic_train_step_finite_kl():
     state, m = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
     assert float(m["kl"]) >= 0.0
+
+
+def test_fused_augment_train_step():
+    """Augmentation fused into the jitted step: loss finite, labels stay
+    one-hot after the geometric transforms, state advances."""
+    from prostatemr_3d_cad_cspca_tpu.augment import AugmentParams
+
+    model = M1(**KW)
+    opt = make_optimizer("adam", 1e-3)
+    step = make_train_step(
+        model, make_loss("distribution_focal"), opt,
+        augment_params=AugmentParams(), train_obj="lesion")
+    state = init_train_state(model, opt)
+    batch = _batch(n=2)
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
