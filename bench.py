@@ -68,7 +68,6 @@ def main():
 
     for tag, dtype, batch in (
         ("fp32_b8", None, 8),
-        ("bf16_b8", jnp.bfloat16, 8),
         ("bf16_b16", jnp.bfloat16, 16),
         ("bf16_b32", jnp.bfloat16, 32),
     ):

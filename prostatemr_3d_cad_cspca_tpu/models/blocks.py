@@ -114,7 +114,8 @@ class SEResNetBottleNeck(nn.Module):
             dtype=self.conv_cfg.dtype,
             param_dtype=self.conv_cfg.param_dtype,
         )
-        s = jnp.mean(x_.astype(jnp.float32), axis=(1, 2, 3), keepdims=True).astype(x_.dtype)
+        # fp32-accumulated GAP without materializing an fp32 copy
+        s = jnp.mean(x_, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(x_.dtype)
         s = nn.Conv(self.filters // self.reduction, (1, 1, 1), **se_kwargs, name="se_conv6")(s)
         s = leaky_relu01(s)
         s = nn.Conv(self.filters, (1, 1, 1), **se_kwargs, name="se_conv7")(s)

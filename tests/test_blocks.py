@@ -111,3 +111,22 @@ def test_stitching_prob_decoder():
     x = jnp.ones((1, 4, 8, 8, 24))
     y, _ = dec.init_with_output(jax.random.PRNGKey(0), x)
     assert y.shape == (1, 4, 8, 8, 2)
+
+
+def test_instance_norm_bf16_fast_path_matches_fp32():
+    """The bf16 one-pass statistics path must match the fp32 two-pass
+    formula within bf16 resolution (ops/normalization.py fast path)."""
+    x = np.random.default_rng(5).normal(0.3, 1.7, (2, 4, 16, 16, 8)).astype(np.float32)
+    scale = np.random.default_rng(6).normal(1.0, 0.2, (8,)).astype(np.float32)
+    bias = np.random.default_rng(7).normal(0.0, 0.2, (8,)).astype(np.float32)
+    from prostatemr_3d_cad_cspca_tpu.ops.normalization import instance_norm
+
+    ref = instance_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
+    fast = instance_norm(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(scale), jnp.asarray(bias))
+    assert fast.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(fast, np.float32), np.asarray(ref), atol=0.15, rtol=0.05)
+    # channel-wise statistics still normalized
+    m = np.asarray(fast, np.float32).mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(m, np.tile(bias, (m.shape[0], 1)), atol=0.05)
