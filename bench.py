@@ -68,8 +68,8 @@ def main():
 
     for tag, dtype, batch in (
         ("fp32_b8", None, 8),
-        ("bf16_b16", jnp.bfloat16, 16),
         ("bf16_b32", jnp.bfloat16, 32),
+        ("bf16_b64", jnp.bfloat16, 64),  # b128 exceeds the remote compiler
     ):
         net = (fp32_model if dtype is None else build(dtype)).net
 

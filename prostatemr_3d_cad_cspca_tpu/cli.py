@@ -101,8 +101,6 @@ def _parse_augm(s: str) -> List:
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
 
-    import jax
-
     from .data.generators import batch_iterator, custom_data_generator
     from .data.manifest import read_manifest
     from .models.m1 import M1

@@ -18,9 +18,7 @@ multi-chip spatial partitioning see parallel.halo.
 from __future__ import annotations
 
 import itertools
-import math
-from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

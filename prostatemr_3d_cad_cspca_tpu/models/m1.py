@@ -26,8 +26,7 @@ see ops.convolution.l2_penalty).
 
 from __future__ import annotations
 
-import json
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

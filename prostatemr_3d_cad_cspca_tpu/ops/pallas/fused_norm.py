@@ -34,7 +34,6 @@ this kernel stays as the scaffold for a single-call double-buffered rewrite
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,13 +16,12 @@ architecture spec.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def receptive_margin(

@@ -15,7 +15,6 @@ TPU-native equivalent of MirroredStrategy's NCCL all-reduce
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -26,15 +25,9 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..losses import EvidenceLowerBound, Focal, SoftDicePlusBoundarySurface
+from ..losses import Focal, SoftDicePlusBoundarySurface
 from ..ops.convolution import l2_penalty
 from . import schedules as sched
-
-try:  # flax>=0.8
-    from flax import struct
-except Exception:  # pragma: no cover
-    struct = None
-
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
