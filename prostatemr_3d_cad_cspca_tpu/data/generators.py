@@ -154,17 +154,55 @@ def batch_iterator(
     batch_size: int,
     augment_fn=None,
     rng_seed: int = 0,
+    prefetch: int = 2,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Stack per-sample dicts into batches; optionally apply a (jitted,
-    batched, on-device) augmentation function keyed per batch."""
+    batched, on-device) augmentation function keyed per batch.
+
+    ``prefetch`` batches are assembled ahead on a background thread so host
+    IO/stacking overlaps device compute (the reference used tf.data's
+    prefetch(AUTOTUNE), train_model.py:183).
+    """
+    import queue
+    import threading
+
     import jax
 
     key = jax.random.PRNGKey(rng_seed)
-    while True:
+
+    def make_batch():
         samples = [next(sample_iter) for _ in range(batch_size)]
-        batch = {
-            k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
-        }
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0].keys()}
+
+    if prefetch and prefetch > 0:
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+        def producer():
+            while True:
+                try:
+                    q.put(make_batch())
+                except Exception as e:  # surface loader errors to the consumer
+                    q.put(e)
+                    return
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        def batches():
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+
+        source = batches()
+    else:
+        def batches():
+            while True:
+                yield make_batch()
+
+        source = batches()
+
+    for batch in source:
         if augment_fn is not None:
             key, sub = jax.random.split(key)
             batch = augment_fn(sub, batch)

@@ -85,6 +85,7 @@ def m1(
     prob_latent_dims=(1, 1, 1, 1),
     fused_prob_passes: bool = True,
     strict_reference_slicing: bool = False,
+    remat: bool = False,
     dtype: Any = None,
     **_ignored,
 ) -> M1Net:
@@ -122,6 +123,7 @@ def m1(
         prob_latent_dims=_as_nested_tuple(prob_latent_dims),
         fused_prob_passes=fused_prob_passes,
         strict_reference_slicing=strict_reference_slicing,
+        remat=remat,
     )
 
 
@@ -157,6 +159,7 @@ class M1:
         # JAX-specific extras (safe defaults preserve reference behavior):
         fused_prob_passes: bool = True,
         strict_reference_slicing: bool = False,
+        remat: bool = False,
         dtype: Any = None,
         seed: int = 0,
         init_params: bool = True,
@@ -189,6 +192,7 @@ class M1:
             name=name,
             fused_prob_passes=fused_prob_passes,
             strict_reference_slicing=strict_reference_slicing,
+            remat=remat,
             seed=seed,
         )
         self.name = name
@@ -216,6 +220,7 @@ class M1:
             prob_latent_dims=prob_latent_dims,
             fused_prob_passes=fused_prob_passes,
             strict_reference_slicing=strict_reference_slicing,
+            remat=remat,
             dtype=dtype,
         )
         if cascaded:

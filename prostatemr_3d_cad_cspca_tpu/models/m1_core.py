@@ -76,6 +76,10 @@ class M1Core(nn.Module):
     deep_supervision: bool = False
     probabilistic: bool = False
     prob_latent_dims: Tuple[int, ...] = (1, 1, 1, 1)
+    # Rematerialize each SE block during backprop (jax.checkpoint): trades
+    # ~30% extra forward FLOPs for dropping the largest activation tensors —
+    # the TPU-native answer to growing batch/volume beyond HBM (SURVEY §7).
+    remat: bool = False
 
     def setup(self):
         assert len(self.filters) == 5, "Expected 5 filter counts (one per resolution)."
@@ -90,8 +94,10 @@ class M1Core(nn.Module):
         def drop(rate):
             return ConfigurableDropout(rate=rate, mode=self.dropout_mode)
 
+        SersCls = nn.remat(SEResNetBottleNeck) if self.remat else SEResNetBottleNeck
+
         def sers(filters, kernel, stride, red):
-            return SEResNetBottleNeck(
+            return SersCls(
                 filters=filters, kernel_size=tuple(kernel), strides=tuple(stride),
                 reduction=red, conv_cfg=self.conv_cfg)
 

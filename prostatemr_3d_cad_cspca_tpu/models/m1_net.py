@@ -89,6 +89,7 @@ class M1Net(nn.Module):
     prob_latent_dims: Tuple[int, ...] = (1, 1, 1, 1)
     fused_prob_passes: bool = True
     strict_reference_slicing: bool = False
+    remat: bool = False
 
     def _core_kwargs(self):
         return dict(
@@ -104,6 +105,7 @@ class M1Net(nn.Module):
             dense_skip=self.dense_skip,
             probabilistic=self.probabilistic,
             prob_latent_dims=tuple(self.prob_latent_dims),
+            remat=self.remat,
         )
 
     def setup(self):

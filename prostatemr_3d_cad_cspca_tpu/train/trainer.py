@@ -170,10 +170,12 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         batch_shard = NamedSharding(mesh, P("data"))
+        # State shardings are inferred from the input placement (None), so the
+        # same step supports pure DP (replicated state) and DP+TP (state
+        # pre-sharded over 'model' via parallel.sharding.state_shardings).
         train_step = jax.jit(
             train_step,
-            in_shardings=(repl, batch_shard, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(None, batch_shard, repl),
             donate_argnums=(0,),
         )
     else:
