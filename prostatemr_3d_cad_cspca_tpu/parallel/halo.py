@@ -45,38 +45,52 @@ def receptive_margin(
 def halo_exchange(
     x: jax.Array, halo: int, axis_name: str, spatial_axis: int
 ) -> jax.Array:
-    """Extend a local slab with ``halo`` slices from each mesh neighbor.
+    """Extend a local slab with ``halo`` slices from each side's neighbors.
 
     x: local block, sharded along ``axis_name``; returns the slab padded with
-    the neighbors' boundary slices (edge-replicated at the global boundary).
-    Runs inside shard_map.
+    neighbor content. Runs inside shard_map.
+
+    When ``halo`` exceeds the slab extent, multiple ring hops gather content
+    from further neighbors (k-th hop = whole slab of the k-th neighbor), so
+    deep receptive fields work on thin shards.
+
+    Global-boundary devices ZERO-fill their outer halo: that reproduces the
+    implicit zero padding a SAME conv applies at the true volume boundary,
+    so sharded and unsharded outputs agree voxel-for-voxel (given a halo
+    that covers the receptive field and is a multiple of the network's
+    cumulative stride along this axis for phase alignment).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
+    slab = x.shape[spatial_axis]
+    hops = -(-halo // slab)  # ceil
 
     def take(arr, start, size):
         sl = [slice(None)] * arr.ndim
-        sl[spatial_axis] = slice(start, start + size) if start >= 0 else slice(start, None)
+        sl[spatial_axis] = (
+            slice(start, start + size) if start >= 0 else slice(start, None))
         return arr[tuple(sl)]
 
-    lo_edge = take(x, 0, halo)           # my lowest slices -> to left neighbor's view
-    hi_edge = take(x, -halo, halo)       # my highest slices -> to right neighbor
+    left_parts = []   # ordered far -> near, concatenated before x
+    right_parts = []  # ordered near -> far, concatenated after x
+    for k in range(hops, 0, -1):
+        # from the k-th neighbor to the LEFT: its full slab (shift right by k)
+        from_left = jax.lax.ppermute(
+            x, axis_name, [(i, (i + k) % n) for i in range(n)])
+        from_left = jnp.where(idx >= k, from_left, jnp.zeros_like(from_left))
+        left_parts.append(from_left)
+    for k in range(1, hops + 1):
+        from_right = jax.lax.ppermute(
+            x, axis_name, [(i, (i - k) % n) for i in range(n)])
+        from_right = jnp.where(
+            idx < n - k, from_right, jnp.zeros_like(from_right))
+        right_parts.append(from_right)
 
-    # receive from left neighbor (their hi edge), from right (their lo edge)
-    from_left = jax.lax.ppermute(
-        hi_edge, axis_name, [(i, (i + 1) % n) for i in range(n)])
-    from_right = jax.lax.ppermute(
-        lo_edge, axis_name, [(i, (i - 1) % n) for i in range(n)])
-
-    # Global-boundary devices ZERO-fill their outer halo: that reproduces the
-    # implicit zero padding a SAME conv applies at the true volume boundary,
-    # so sharded and unsharded outputs agree voxel-for-voxel (given a halo
-    # that covers the receptive field and is a multiple of the network's
-    # cumulative stride along this axis for phase alignment).
-    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
-    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
-
-    return jnp.concatenate([from_left, x, from_right], axis=spatial_axis)
+    left = jnp.concatenate(left_parts, axis=spatial_axis) if left_parts else None
+    right = jnp.concatenate(right_parts, axis=spatial_axis) if right_parts else None
+    left = take(left, -halo, halo)   # innermost `halo` rows adjacent to x
+    right = take(right, 0, halo)
+    return jnp.concatenate([left, x, right], axis=spatial_axis)
 
 
 def make_spatial_predict(
@@ -112,3 +126,67 @@ def make_spatial_predict(
     fn = shard_map(
         local_fn, mesh=mesh, in_specs=(part,), out_specs=part, check_rep=False)
     return jax.jit(fn)
+
+
+def _stride_product(strides: Sequence[Sequence[int]], spatial_dim: int) -> int:
+    p = 1
+    for s in strides:
+        p *= s[spatial_dim]
+    return p
+
+
+def spatial_infer_m1(
+    model,
+    params,
+    volume: jax.Array,
+    mesh: Mesh,
+    spatial_axis: int = 2,
+    mesh_axis: str = "spatial",
+    halo: int | None = None,
+):
+    """Single-program halo-sharded M1 inference over a full-resolution volume.
+
+    Picks the halo from the architecture's receptive margin, rounded UP to a
+    multiple of the network's cumulative stride along the sharded axis (phase
+    alignment: a strided conv on the extended slab must sample the same grid
+    as the unsharded network). The local slab must also divide evenly.
+
+    volume: (B, D, H, W, C); returns y_softmax (deterministic M1) computed as
+    ONE SPMD program with `ppermute` halo exchange — the TPU-native form of
+    whole-gland full-resolution inference (SURVEY.md §5.7).
+
+    ACCURACY CONTRACT: input-level halos make every CONV exact (proved
+    voxel-exact for pure-conv programs in tests), but M1's instance norms
+    reduce over the full volume; here each shard normalizes over slab+halo,
+    so outputs are APPROXIMATE near distribution shifts — predictions agree
+    with the unsharded network to high argmax fidelity, not bitwise. Exact
+    IN under spatial sharding requires cross-shard statistics
+    (ops.normalization.instance_norm already takes axis_name for psum stats;
+    threading it through M1 is planned — docs/ROUND1_NOTES.md). For exact
+    full-volume inference today use infer.sliding_window_predict.
+    """
+    cfg = model.config
+    sd = spatial_axis - 1  # spatial_axis indexes (B,D,H,W,C); strides index (D,H,W)
+    stride_prod = _stride_product(cfg["strides"], sd)
+    n = mesh.shape[mesh_axis]
+    extent = volume.shape[spatial_axis]
+    assert extent % n == 0, (extent, n)
+    slab = extent // n
+    assert slab % stride_prod == 0, (
+        f"local slab {slab} must be a multiple of the cumulative stride "
+        f"{stride_prod} along axis {spatial_axis}")
+
+    if halo is None:
+        margin = receptive_margin(cfg["kernel_sizes"], cfg["strides"], sd)
+        halo = ((margin + stride_prod - 1) // stride_prod) * stride_prod
+    assert halo % stride_prod == 0, (halo, stride_prod)
+
+    net = model.net
+
+    def predict(x):
+        return net.apply({"params": params}, x, train=False)["y_softmax"]
+
+    fn = make_spatial_predict(
+        predict, mesh, halo=halo, spatial_axis=spatial_axis,
+        mesh_axis=mesh_axis)
+    return fn(volume)

@@ -139,3 +139,40 @@ def test_tensor_parallel_train_step():
         state, m = step(state, batch, jax.random.PRNGKey(2))
         losses[tag] = float(jax.device_get(m["loss"]))
     np.testing.assert_allclose(losses["dp"], losses["dp_tp"], rtol=1e-4)
+
+
+def test_spatial_infer_full_m1_matches_unsharded():
+    """Whole-volume halo-sharded M1 inference vs unsharded: convs are exact
+    (see test_spatial_predict_matches_single_device_conv); the instance-norm
+    statistics are per-slab+halo, so the contract is high prediction
+    fidelity, not bitwise equality (see spatial_infer_m1 docstring)."""
+    from prostatemr_3d_cad_cspca_tpu.models import M1
+    from prostatemr_3d_cad_cspca_tpu.parallel.halo import spatial_infer_m1
+
+    model = M1(
+        input_spatial_dims=(4, 320, 16), input_channels=3, num_classes=2,
+        filters=(4, 8, 12, 16, 24),
+        strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (1, 1, 1)),
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        se_reduction=(2, 2, 2, 2, 2),
+        att_sub_samp=((1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1)),
+        dropout_rate=0.0, summary=False)
+    mesh = make_mesh(n_data=1, n_spatial=4)
+    vol = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 4, 320, 16, 3)), jnp.float32)
+
+    sharded = np.asarray(spatial_infer_m1(model, model.params, vol, mesh))
+    unsharded = np.asarray(model.apply(model.params, vol)["y_softmax"])
+    assert sharded.shape == unsharded.shape
+    assert np.all(np.isfinite(sharded))
+    # Random weights put most probs at ~0.5 where argmax is a coin flip under
+    # tiny perturbations; the meaningful fidelity statement is agreement where
+    # the unsharded model is CONFIDENT.
+    agree = np.mean(np.argmax(sharded, -1) == np.argmax(unsharded, -1))
+    assert agree > 0.85, f"argmax agreement {agree}"
+    conf = np.abs(unsharded[..., 1] - 0.5) > 0.2
+    if conf.any():
+        conf_agree = np.mean(
+            (np.argmax(sharded, -1) == np.argmax(unsharded, -1))[conf])
+        assert conf_agree > 0.99, f"confident-voxel agreement {conf_agree}"
+    assert np.mean(np.abs(sharded - unsharded)) < 0.05
