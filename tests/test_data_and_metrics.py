@@ -142,3 +142,33 @@ def test_froc_and_ap_perfect_detection():
     assert fr["sensitivity"][-1] == 1.0
     ap = lesion_average_precision([prob], [lab], threshold=0.5, min_overlap=0.5)
     assert ap == 1.0
+
+
+def test_froc_multi_lesion_partial_detection():
+    """Two GT lesions, one detected + one false positive: sensitivity tops at
+    0.5 and the FP registers against the case count."""
+    lab = np.zeros((4, 32, 32))
+    lab[1:3, 2:8, 2:8] = 1      # lesion A
+    lab[1:3, 20:26, 20:26] = 1  # lesion B
+    prob = np.zeros_like(lab)
+    prob[1:3, 2:8, 2:8] = 0.9           # hits A
+    prob[1:3, 12:16, 12:16] = 0.8       # false positive
+    fr = froc_curve([prob], [lab], threshold=0.5, min_overlap=0.5)
+    assert fr["n_lesions"] == 2
+    assert fr["sensitivity"][-1] == 0.5
+    assert fr["fp_per_case"][-1] == 1.0
+    ap = lesion_average_precision([prob], [lab], threshold=0.5, min_overlap=0.5)
+    assert 0.2 < ap <= 0.5  # precision@1 = 1 for the hit, half the GT found
+
+
+def test_candidate_matching_does_not_double_count():
+    """Two candidates over the same GT lesion: only one true positive."""
+    lab = np.zeros((4, 32, 32)); lab[1:3, 4:16, 4:16] = 1
+    prob = np.zeros_like(lab)
+    prob[1:3, 4:9, 4:16] = 0.9
+    prob[1:3, 11:16, 4:16] = 0.8
+    fr = froc_curve([prob], [lab], threshold=0.5, min_overlap=0.2)
+    assert fr["n_lesions"] == 1
+    assert fr["sensitivity"][-1] == 1.0
+    # the second candidate is a false positive, not a second hit
+    assert fr["fp_per_case"][-1] == 1.0

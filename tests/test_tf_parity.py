@@ -120,3 +120,37 @@ def test_full_m1_forward_parity():
     tf_out = tf_model(tf.constant(x), training=False).numpy()
     jax_out = np.asarray(model.apply(params, jnp.asarray(x))["y_softmax"])
     np.testing.assert_allclose(jax_out, tf_out, atol=5e-4)
+
+
+def test_resize_bilinear_matches_tf_image_resize():
+    """augmentations' bilinear warps must match tf.image.resize semantics
+    (half-pixel centers, antialias=False) — the reference's resample op
+    (augmentations.py:143, 267)."""
+    from prostatemr_3d_cad_cspca_tpu.ops.resample import (
+        resize_bilinear_2d, resize_nearest_2d)
+
+    img = _rand((17, 23, 3), seed=11)
+    for out_hw in [(25, 31), (9, 12), (17, 23)]:
+        tf_out = tf.image.resize(
+            tf.constant(img), out_hw, method="bilinear", antialias=False).numpy()
+        jax_out = np.asarray(resize_bilinear_2d(jnp.asarray(img), *out_hw))
+        np.testing.assert_allclose(jax_out, tf_out, atol=2e-5)
+
+        tf_nn = tf.image.resize(
+            tf.constant(img), out_hw, method="nearest").numpy()
+        jax_nn = np.asarray(resize_nearest_2d(jnp.asarray(img), *out_hw))
+        np.testing.assert_allclose(jax_nn, tf_nn, atol=0)
+
+
+def test_symmetric_pad_shift_matches_tf():
+    """_translate == tf.pad(SYMMETRIC) + crop (augmentations.py:167-181)."""
+    from prostatemr_3d_cad_cspca_tpu.augment import _translate
+
+    vol = _rand((2, 8, 8, 1), seed=12)  # (D,H,W,C)
+    pt, pb, pr, pl = 3, 1, 2, 4
+    # reference: pad (top,left), then crop offset (bottom,right)
+    tf_p = tf.pad(tf.constant(vol), [[0, 0], [pt, pb], [pl, pr], [0, 0]],
+                  mode="SYMMETRIC").numpy()
+    tf_out = tf_p[:, pb:pb + 8, pr:pr + 8, :]
+    jax_out = np.asarray(_translate(jnp.asarray(vol), pb - pt, pr - pl))
+    np.testing.assert_allclose(jax_out, tf_out, atol=0)
