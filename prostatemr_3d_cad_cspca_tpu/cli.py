@@ -101,6 +101,17 @@ def _parse_augm(s: str) -> List:
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
 
+    # Honor JAX_PLATFORMS even on installs whose device plugin re-asserts
+    # itself over the env var (observed with experimental remote-TPU plugins):
+    # re-apply the user's choice through jax.config before any backend touch.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from .data.generators import batch_iterator, custom_data_generator
     from .data.manifest import read_manifest
     from .models.m1 import M1
