@@ -165,9 +165,20 @@ def augment_sample(
     label: jax.Array,
     params: AugmentParams,
     train_obj: str = "lesion",
-) -> Tuple[jax.Array, jax.Array]:
+    dist_map: "jax.Array | None" = None,
+):
     """Augment one (D,H,W,C) sample. Mirrors augment_tensors
-    (augmentations.py:36-132) with explicit key plumbing."""
+    (augmentations.py:36-132) with explicit key plumbing.
+
+    ``dist_map`` (D,H,W,K) — the precomputed signed EDT of the foreground
+    label channels for the boundary loss (reference losses.py:82-96 computes
+    it per step via tf.py_function; here the pipeline precomputes it and this
+    function keeps it geometrically consistent with the label). Distance
+    fields are 1-Lipschitz, so the same bilinear warps are well-defined on
+    them; flips/rotations/translations preserve distances exactly, and the
+    in-plane zoom rescales values by scale/H (exact in-plane, approximate for
+    the through-plane component of the 3D EDT).
+    """
     p = params
     D, H, W, C = image.shape
     n_img_ch = 3 if train_obj == "lesion" else 1
@@ -175,7 +186,7 @@ def augment_sample(
 
     master = jax.random.uniform(keys[0]) > (1.0 - p.prob)
 
-    img, lbl = image, label
+    img, lbl, dm = image, label, dist_map
 
     # ---- zoom (shared draw with label) ---------------------------------- :58-62
     if p.zoom_factor != 0.0:
@@ -183,12 +194,17 @@ def augment_sample(
         scale = jax.random.randint(keys[2], (), H, int(math.ceil(H * p.zoom_factor)))
         img = jnp.where(zoom_on, _zoom(img, scale), img)
         lbl = jnp.where(zoom_on, _zoom(lbl, scale), lbl)
+        if dm is not None:
+            dm = jnp.where(
+                zoom_on, _zoom(dm, scale) * (scale.astype(jnp.float32) / H), dm)
 
     # ---- axial horizontal flip ------------------------------------------ :64-67
     if p.axial_hflip:
         flip_on = jax.random.uniform(keys[3]) > 0.5
         img = jnp.where(flip_on, jnp.flip(img, axis=2), img)
         lbl = jnp.where(flip_on, jnp.flip(lbl, axis=2), lbl)
+        if dm is not None:
+            dm = jnp.where(flip_on, jnp.flip(dm, axis=2), dm)
 
     # ---- rotation -------------------------------------------------------- :69-73
     if p.rotation_degree != 0:
@@ -197,6 +213,8 @@ def augment_sample(
             keys[5], (), minval=-p.rotation_degree, maxval=p.rotation_degree)
         img = jnp.where(rot_on, _rotate(img, angle), img)
         lbl = jnp.where(rot_on, _rotate(lbl, angle), lbl)
+        if dm is not None:
+            dm = jnp.where(rot_on, _rotate(dm, angle), dm)
 
     # ---- translation ----------------------------------------------------- :75-83
     if p.translate_factor != 0.0:
@@ -210,6 +228,8 @@ def augment_sample(
         dy, dx = pad_bottom - pad_top, pad_right - pad_left
         img = jnp.where(trans_on, _translate(img, dy, dx), img)
         lbl = jnp.where(trans_on, _translate(lbl, dy, dx), lbl)
+        if dm is not None:
+            dm = jnp.where(trans_on, _translate(dm, dy, dx), dm)
 
     # ---- channel shift (lesion only; labels untouched) ------------------- :85-94
     if train_obj == "lesion" and p.chan_shift_factor != 0:
@@ -266,6 +286,8 @@ def augment_sample(
     # ---- master gate ----------------------------------------------------- :51
     out_img = jnp.where(master, img, image)
     out_lbl = jnp.where(master, lbl, label)
+    if dist_map is not None:
+        return out_img, out_lbl, jnp.where(master, dm, dist_map)
     return out_img, out_lbl
 
 
@@ -279,10 +301,16 @@ def augment_batch(
     """Vmapped, jitted batch augmentation: batch dict in, batch dict out."""
     n = batch["image"].shape[0]
     keys = jax.random.split(key, n)
-    img, lbl = jax.vmap(
-        lambda k, im, lb: augment_sample(k, im, lb, params, train_obj)
-    )(keys, batch["image"], batch["detection"])
     out = dict(batch)
+    if "dist_map" in batch:
+        img, lbl, dm = jax.vmap(
+            lambda k, im, lb, d: augment_sample(k, im, lb, params, train_obj, d)
+        )(keys, batch["image"], batch["detection"], batch["dist_map"])
+        out["dist_map"] = dm
+    else:
+        img, lbl = jax.vmap(
+            lambda k, im, lb: augment_sample(k, im, lb, params, train_obj)
+        )(keys, batch["image"], batch["detection"])
     out["image"], out["detection"] = img, lbl
     return out
 

@@ -173,7 +173,11 @@ def main(argv=None):
         sample_gen = custom_data_generator(
             train_manifest, train_obj=args.TRAIN_OBJ,
             probabilistic=bool(args.UNET_PROBABILISTIC), mode="train",
-            shuffle_seed=f)
+            shuffle_seed=f,
+            # boundary loss trains against a pipeline-precomputed signed EDT
+            # (no per-step host callback; see losses.py / ops/edt.py)
+            with_dist_map=(args.LOSS_MODE == "region_boundary"),
+            cache_dir=args.CACHE_TDS_PATH)
         # Augmentation is fused INTO the jitted train step (one program per
         # step) rather than run as a separate host-dispatched program per
         # batch — the TPU-native layout of the reference's tf.data map stage.
@@ -200,7 +204,11 @@ def main(argv=None):
         )
 
         if str(args.USE_PRETRAINED_WEIGHTS) != "False":
-            model = M1.load(args.USE_PRETRAINED_WEIGHTS)
+            # Warm-start: load weights INTO the constructed architecture
+            # (reference train_model.py:216-219) so the --UNET_* flags and
+            # --FREEZE_LAYERS keep their meaning; head/shape mismatches keep
+            # their initialized values.
+            model.load_weights(args.USE_PRETRAINED_WEIGHTS)
 
         init_epoch = 0
         if args.RESUME_TRAIN:
@@ -249,6 +257,7 @@ def main(argv=None):
             validate_min_epoch=args.VALIDATE_MIN_EPOCH,
             augment_params=_parse_augm(args.AUGM_PARAMS),
             train_obj=args.TRAIN_OBJ,
+            schedule=schedule,
         )
 
 

@@ -86,8 +86,16 @@ def load_sample(
     train_obj: str = "zonal",
     probabilistic: bool = False,
     mode: str = "train",
+    with_dist_map: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """One case -> model I/O dict (reference data_generators.py:43-88)."""
+    """One case -> model I/O dict (reference data_generators.py:43-88).
+
+    ``with_dist_map`` additionally yields the signed EDT of the foreground
+    label channels (key ``dist_map``) for the boundary loss — labels are
+    static per case, so the EDT is data, not per-step model compute (the
+    reference recomputes it every step inside tf.py_function,
+    losses.py:82-96; precomputing removes that host stall from the hot loop).
+    """
     if train_obj == "zonal":
         image = np.load(row["image_path"])[:, :, :, :1]
         if mode != "test":
@@ -122,12 +130,18 @@ def load_sample(
         postq_lbl = label[:, :, :, 1:]
 
     if probabilistic:
-        return {
+        sample = {
             "image": np.concatenate([image, postq_lbl], axis=-1),
             "detection": label,
             "KL": np.zeros(label.shape, np.float32),
         }
-    return {"image": image, "detection": label}
+    else:
+        sample = {"image": image, "detection": label}
+    if with_dist_map:
+        from ..ops.edt import signed_distance_map
+
+        sample["dist_map"] = signed_distance_map(label[..., 1:])
+    return sample
 
 
 def custom_data_generator(
@@ -136,17 +150,47 @@ def custom_data_generator(
     probabilistic: bool = False,
     mode: str = "train",
     shuffle_seed: Optional[int] = None,
+    with_dist_map: bool = False,
+    cache_dir: Optional[str] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite per-sample generator (reference data_generators.py:30-88),
-    with optional deterministic per-epoch shuffling."""
+    with optional deterministic per-epoch shuffling.
+
+    ``cache_dir`` implements the reference's --CACHE_TDS_PATH
+    (tf.data snapshot cache, train_model.py:177-181): the first pass writes
+    each prepared sample (incl. contour smoothening and the optional EDT) as
+    an .npz keyed by case id + preparation recipe; later passes and epochs
+    replay from disk instead of re-preparing.
+    """
+    import os
+
     rows = read_manifest(data_manifest)
     rng = np.random.default_rng(shuffle_seed) if shuffle_seed is not None else None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def prepare(row) -> Dict[str, np.ndarray]:
+        if not cache_dir:
+            return load_sample(row, train_obj, probabilistic, mode, with_dist_map)
+        pid = str(row.get("p-id", "")) or os.path.basename(row["image_path"])
+        recipe = f"{train_obj}-{'p' if probabilistic else 'd'}-{mode}" \
+                 f"{'-edt' if with_dist_map else ''}"
+        path = os.path.join(cache_dir, f"{pid}.{recipe}.npz")
+        if os.path.isfile(path):
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        sample = load_sample(row, train_obj, probabilistic, mode, with_dist_map)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **sample)
+        os.replace(tmp, path)  # atomic: concurrent fold workers race-safe
+        return sample
+
     for epoch in itertools.count():
         order = np.arange(len(rows))
         if rng is not None:
             rng.shuffle(order)
         for i in order:
-            yield load_sample(rows[i], train_obj, probabilistic, mode)
+            yield prepare(rows[i])
 
 
 def batch_iterator(
@@ -161,7 +205,9 @@ def batch_iterator(
 
     ``prefetch`` batches are assembled ahead on a background thread so host
     IO/stacking overlaps device compute (the reference used tf.data's
-    prefetch(AUTOTUNE), train_model.py:183).
+    prefetch(AUTOTUNE), train_model.py:183). The thread shuts down when the
+    returned generator is closed/garbage-collected (generator ``finally``),
+    so library callers can drop the iterator without leaking a producer.
     """
     import queue
     import threading
@@ -176,23 +222,35 @@ def batch_iterator(
 
     if prefetch and prefetch > 0:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
 
         def producer():
-            while True:
+            while not stop.is_set():
                 try:
-                    q.put(make_batch())
+                    item = make_batch()
                 except Exception as e:  # surface loader errors to the consumer
-                    q.put(e)
+                    item = e
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if isinstance(item, Exception):
                     return
 
-        threading.Thread(target=producer, daemon=True).start()
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
 
         def batches():
-            while True:
-                item = q.get()
-                if isinstance(item, Exception):
-                    raise item
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
 
         source = batches()
     else:
@@ -202,8 +260,11 @@ def batch_iterator(
 
         source = batches()
 
-    for batch in source:
-        if augment_fn is not None:
-            key, sub = jax.random.split(key)
-            batch = augment_fn(sub, batch)
-        yield batch
+    try:
+        for batch in source:
+            if augment_fn is not None:
+                key, sub = jax.random.split(key)
+                batch = augment_fn(sub, batch)
+            yield batch
+    finally:
+        source.close()

@@ -338,6 +338,45 @@ class M1:
 
         save_model(path, self.config, self.params)
 
+    def load_weights(self, path: str, strict: bool = False) -> "M1":
+        """Load checkpoint weights INTO this model's architecture
+        (reference ``model.load_weights`` warm-start, train_model.py:216-219).
+
+        Leaves are matched by param-tree path; leaves absent from the
+        checkpoint or with mismatched shapes (e.g. a different segmentation
+        head or input-channel count) keep their freshly initialized values —
+        exactly what makes freeze+finetune workflows coherent. ``strict=True``
+        raises on any mismatch instead.
+        """
+        from ..utils.serialization import load_model
+
+        if self.params is None:
+            self.params = self.init(self.config.get("seed", 0))
+        _, saved = load_model(path)
+        flat_saved = {
+            jax.tree_util.keystr(p): leaf
+            for p, leaf in jax.tree_util.tree_flatten_with_path(saved)[0]}
+        skipped = []
+
+        def merge(path, leaf):
+            key = jax.tree_util.keystr(path)
+            got = flat_saved.pop(key, None)
+            if got is not None and tuple(got.shape) == tuple(leaf.shape):
+                return jnp.asarray(got, leaf.dtype)
+            skipped.append(key)
+            return leaf
+
+        self.params = jax.tree_util.tree_map_with_path(merge, self.params)
+        unused = sorted(flat_saved)
+        if strict and (skipped or unused):
+            raise ValueError(
+                f"load_weights(strict=True): unmatched target leaves {skipped}, "
+                f"unused checkpoint leaves {unused}")
+        if skipped or unused:
+            print(f"load_weights: kept init for {len(skipped)} leaves, "
+                  f"ignored {len(unused)} checkpoint leaves (head/arch mismatch)")
+        return self
+
     @classmethod
     def load(cls, path: str, **overrides) -> "M1":
         """Reconstruct architecture from the stored config, then load weights

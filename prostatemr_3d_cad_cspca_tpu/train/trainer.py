@@ -120,6 +120,12 @@ def make_train_step(
     k_l2 = float(cfg["kernel_regularizer"])
     b_l2 = float(cfg["bias_regularizer"])
     w_seg = float(loss_weights[0]) if loss_weights else 1.0
+    try:
+        import inspect
+
+        loss_takes_dist_map = "dist_map" in inspect.signature(seg_loss).parameters
+    except (TypeError, ValueError):  # builtins / C callables
+        loss_takes_dist_map = False
 
     def loss_fn(params, batch, rng):
         if augment_params is not None:
@@ -132,17 +138,29 @@ def make_train_step(
                 else AugmentParams.from_list(augment_params)
             rng, a_rng = jax.random.split(rng)
             keys = jax.random.split(a_rng, batch["image"].shape[0])
-            img, lbl = jax.vmap(
-                lambda k, im, lb: augment_sample(k, im, lb, ap, train_obj)
-            )(keys, batch["image"], batch["detection"])
-            batch = dict(batch, image=img, detection=lbl)
+            if "dist_map" in batch:  # warp the EDT with its label (augment.py)
+                img, lbl, dm = jax.vmap(
+                    lambda k, im, lb, d: augment_sample(k, im, lb, ap, train_obj, d)
+                )(keys, batch["image"], batch["detection"], batch["dist_map"])
+                batch = dict(batch, image=img, detection=lbl, dist_map=dm)
+            else:
+                img, lbl = jax.vmap(
+                    lambda k, im, lb: augment_sample(k, im, lb, ap, train_obj)
+                )(keys, batch["image"], batch["detection"])
+                batch = dict(batch, image=img, detection=lbl)
+        # Boundary loss: use the pipeline-precomputed signed EDT when the
+        # batch carries one (load_sample(with_dist_map=True)); the loss only
+        # falls back to a per-step host callback without it (losses.py:112).
+        loss_kwargs = (
+            {"dist_map": batch["dist_map"]}
+            if ("dist_map" in batch and loss_takes_dist_map) else {})
         d_rng, l_rng = jax.random.split(rng)
         out = net.apply({"params": params}, batch["image"], train=True,
                         rngs={"dropout": d_rng, "latent": l_rng})
         metrics = {}
         if cascaded:
-            seg = w_seg * (seg_loss(batch["detection"], out["detection_1"]) +
-                           seg_loss(batch["detection"], out["detection_2"]))
+            seg = w_seg * (seg_loss(batch["detection"], out["detection_1"], **loss_kwargs) +
+                           seg_loss(batch["detection"], out["detection_2"], **loss_kwargs))
             loss = seg
             if probabilistic:
                 kl = out["KL_1"] + out["KL_2"]
@@ -150,7 +168,7 @@ def make_train_step(
                 metrics["kl"] = kl
         else:
             det = out["prob_softmax"] if probabilistic else out["y_softmax"]
-            seg = w_seg * seg_loss(batch["detection"], det)
+            seg = w_seg * seg_loss(batch["detection"], det, **loss_kwargs)
             loss = seg
             if probabilistic:
                 loss = loss + elbo_beta * out["prob_kl"]
@@ -233,6 +251,7 @@ def fit(
     seed: int = 0,
     log_fn: Callable[[str], None] = print,
     verbose: int = 2,
+    schedule: Optional[Callable] = None,
 ) -> Dict[str, list]:
     """Epoch/step fit loop with WeightsSaver + metrics history.
 
@@ -267,6 +286,9 @@ def fit(
         # Materialize once per epoch (keeps the device queue full within it).
         epoch_metrics = {k: float(np.mean(jax.device_get(v))) for k, v in epoch_metrics.items()}
         dt = time.perf_counter() - t0
+        if schedule is not None:  # LR observability (Keras history parity)
+            epoch_metrics["lr"] = float(schedule(int(jax.device_get(state.step))))
+            history.setdefault("lr", []).append(epoch_metrics["lr"])
         history["loss"].append(epoch_metrics.get("loss"))
         history["seg_loss"].append(epoch_metrics.get("seg_loss"))
         history["epoch_time"].append(dt)
