@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.convolution import ConvConfig
-from ..ops.normalization import InstanceNorm
+from ..ops.normalization import InstanceNorm, ShardedStats, global_spatial_mean
 from ..ops.resample import upsample_nearest
 
 
@@ -86,26 +86,32 @@ class SEResNetBottleNeck(nn.Module):
     strides: Tuple[int, int, int]
     reduction: int
     conv_cfg: ConvConfig = ConvConfig()
+    # Halo-sharded SPMD: exact cross-shard statistics for the INs and the SE
+    # squeeze (ops.normalization.ShardedStats). None = single-device behavior.
+    sharded: Optional[ShardedStats] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ck = self.conv_cfg.conv_kwargs()
         residual = x
 
+        def IN(name):
+            return InstanceNorm(name=name, sharded=self.sharded)
+
         h = nn.Conv(self.filters // 4, self.kernel_size, self.strides, **ck, name="conv1")(x)
-        h = InstanceNorm(name="norm1")(h)
+        h = IN("norm1")(h)
         h = leaky_relu01(h)
         h = nn.Conv(self.filters // 4, (3, 3, 3), (1, 1, 1), **ck, name="conv2")(h)
-        h = InstanceNorm(name="norm2")(h)
+        h = IN("norm2")(h)
         h = leaky_relu01(h)
         h = nn.Conv(self.filters, (1, 1, 1), (1, 1, 1), **ck, name="conv3")(h)
-        x_ = InstanceNorm(name="norm3")(h)
+        x_ = IN("norm3")(h)
 
         if x.shape[-1] != self.filters:
             residual = nn.Conv(
                 self.filters, self.kernel_size, self.strides, **ck, name="conv4"
             )(residual)
-            residual = InstanceNorm(name="norm4")(residual)
+            residual = IN("norm4")(residual)
 
         # Squeeze-and-excitation gate (TF-default initialized, unregularized).
         se_kwargs = dict(
@@ -115,7 +121,8 @@ class SEResNetBottleNeck(nn.Module):
             param_dtype=self.conv_cfg.param_dtype,
         )
         # fp32-accumulated GAP without materializing an fp32 copy
-        s = jnp.mean(x_, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(x_.dtype)
+        # (cross-shard exact under spatial sharding, like the INs above)
+        s = global_spatial_mean(x_, self.sharded).astype(x_.dtype)
         s = nn.Conv(self.filters // self.reduction, (1, 1, 1), **se_kwargs, name="se_conv6")(s)
         s = leaky_relu01(s)
         s = nn.Conv(self.filters, (1, 1, 1), **se_kwargs, name="se_conv7")(s)
@@ -139,6 +146,7 @@ class GridAttentionBlock3D(nn.Module):
     inter_channels: int
     sub_samp: Tuple[int, int, int]
     conv_cfg: ConvConfig = ConvConfig()
+    sharded: Optional[ShardedStats] = None
 
     @nn.compact
     def __call__(
@@ -162,7 +170,7 @@ class GridAttentionBlock3D(nn.Module):
 
         y = sigm_psi_f * x
         w_y = nn.Conv(self.inter_channels, (1, 1, 1), (1, 1, 1), **ck, name="out")(y)
-        w_y = InstanceNorm(name="norm_out")(w_y)
+        w_y = InstanceNorm(name="norm_out", sharded=self.sharded)(w_y)
         return w_y, sigm_psi_f
 
 

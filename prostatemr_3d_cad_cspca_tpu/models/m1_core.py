@@ -36,7 +36,7 @@ from flax import linen as nn
 
 from ..ops.convolution import ConvConfig
 from ..ops.distributions import DiagGaussian
-from ..ops.normalization import InstanceNorm
+from ..ops.normalization import InstanceNorm, ShardedStats, revacuum
 from ..ops.resample import upsample_nearest
 from .blocks import (
     ConfigurableDropout,
@@ -80,6 +80,9 @@ class M1Core(nn.Module):
     # ~30% extra forward FLOPs for dropping the largest activation tensors —
     # the TPU-native answer to growing batch/volume beyond HBM (SURVEY §7).
     remat: bool = False
+    # Halo-sharded SPMD: exact cross-shard IN/SE statistics (see
+    # ops.normalization.ShardedStats; set by parallel.halo.spatial_infer_m1).
+    sharded: Optional[ShardedStats] = None
 
     def setup(self):
         assert len(self.filters) == 5, "Expected 5 filter counts (one per resolution)."
@@ -99,11 +102,11 @@ class M1Core(nn.Module):
         def sers(filters, kernel, stride, red):
             return SersCls(
                 filters=filters, kernel_size=tuple(kernel), strides=tuple(stride),
-                reduction=red, conv_cfg=self.conv_cfg)
+                reduction=red, conv_cfg=self.conv_cfg, sharded=self.sharded)
 
         # Stem (networks.py:472-474).
         self.conve0 = nn.Conv(f[0], k[0], s[0], **ck)
-        self.norme0 = InstanceNorm()
+        self.norme0 = InstanceNorm(sharded=self.sharded)
 
         # Encoder (networks.py:476-487).
         self.serse1 = sers(f[1], k[1], s[1], r[1])
@@ -116,10 +119,14 @@ class M1Core(nn.Module):
         self.drope4 = drop(self.dropout_rate)
 
         # Attention gates (networks.py:490-493).
-        self.att0 = GridAttentionBlock3D(f[0], tuple(self.att_sub_samp[0]), self.conv_cfg)
-        self.att1 = GridAttentionBlock3D(f[1], tuple(self.att_sub_samp[1]), self.conv_cfg)
-        self.att2 = GridAttentionBlock3D(f[2], tuple(self.att_sub_samp[2]), self.conv_cfg)
-        self.att3 = GridAttentionBlock3D(f[3], tuple(self.att_sub_samp[3]), self.conv_cfg)
+        self.att0 = GridAttentionBlock3D(
+            f[0], tuple(self.att_sub_samp[0]), self.conv_cfg, self.sharded)
+        self.att1 = GridAttentionBlock3D(
+            f[1], tuple(self.att_sub_samp[1]), self.conv_cfg, self.sharded)
+        self.att2 = GridAttentionBlock3D(
+            f[2], tuple(self.att_sub_samp[2]), self.conv_cfg, self.sharded)
+        self.att3 = GridAttentionBlock3D(
+            f[3], tuple(self.att_sub_samp[3]), self.conv_cfg, self.sharded)
 
         # Nested decoder stage 3 (networks.py:496-502).
         self.convtd3 = _ConvT(f[3], k[4], s[4], **ck)
@@ -175,6 +182,10 @@ class M1Core(nn.Module):
         supervision needs.
         """
         d: Dict[str, Any] = {}
+        # Under halo sharding: keep the outside-the-volume region zero after
+        # ops with additive offsets (see ops.normalization.revacuum). The INs
+        # already do this internally; transposed convs need it explicitly.
+        rv = lambda t: revacuum(t, self.sharded)  # noqa: E731
 
         x = self.conve0(inputs)
         x = self.norme0(x)
@@ -196,35 +207,35 @@ class M1Core(nn.Module):
                  att_map0=att_0, att_map1=att_1, att_map2=att_2, att_map3=att_3)
 
         # Stage 3 (networks.py:590-597).
-        deconv3 = self.convtd3(convm)
+        deconv3 = rv(self.convtd3(convm))
         if self.dense_skip:
-            deconv3_up1 = self.convtd3_up1(deconv3)
-            deconv3_up2 = self.convtd3_up2(deconv3_up1)
-            deconv3_up3 = self.convtd3_up3(deconv3_up2)
+            deconv3_up1 = rv(self.convtd3_up1(deconv3))
+            deconv3_up2 = rv(self.convtd3_up2(deconv3_up1))
+            deconv3_up3 = rv(self.convtd3_up3(deconv3_up2))
         uconv3_ = jnp.concatenate([deconv3, att_conv3], axis=-1)
         uconv3 = self.dropd3(self.sersd3(uconv3_), train)
 
         # Stage 2 (networks.py:599-607).
-        deconv2 = self.convtd2(uconv3)
+        deconv2 = rv(self.convtd2(uconv3))
         if self.dense_skip:
-            deconv2_up1 = self.convtd2_up1(deconv2)
-            deconv2_up2 = self.convtd2_up2(deconv2_up1)
+            deconv2_up1 = rv(self.convtd2_up1(deconv2))
+            deconv2_up2 = rv(self.convtd2_up2(deconv2_up1))
             uconv2_ = jnp.concatenate([deconv2, deconv3_up1, att_conv2], axis=-1)
         else:
             uconv2_ = jnp.concatenate([deconv2, att_conv2], axis=-1)
         uconv2 = self.dropd2(self.sersd2(uconv2_), train)
 
         # Stage 1 (networks.py:609-616).
-        deconv1 = self.convtd1(uconv2)
+        deconv1 = rv(self.convtd1(uconv2))
         if self.dense_skip:
-            deconv1_up1 = self.convtd1_up1(deconv1)
+            deconv1_up1 = rv(self.convtd1_up1(deconv1))
             uconv1_ = jnp.concatenate([deconv1, deconv2_up1, deconv3_up2, att_conv1], axis=-1)
         else:
             uconv1_ = jnp.concatenate([deconv1, att_conv1], axis=-1)
         uconv1 = self.dropd1(self.sersd1(uconv1_), train)
 
         # Stage 0 (networks.py:618-624).
-        deconv0 = self.convtd0(uconv1)
+        deconv0 = rv(self.convtd0(uconv1))
         if self.dense_skip:
             uconv0_ = jnp.concatenate([deconv0, deconv1_up1, deconv2_up2, deconv3_up3, att_conv0], axis=-1)
         else:
@@ -286,7 +297,9 @@ class M1Core(nn.Module):
                 distributions.append(None)
                 used_latents.append(None)
                 dec_in = features
-            upsampled = self.dec_hi[i](dec_in)
+            # latents carry bias/noise in the vacuum; zero before the convT
+            dec_in = revacuum(dec_in, self.sharded)
+            upsampled = revacuum(self.dec_hi[i](dec_in), self.sharded)
             stitched = jnp.concatenate([upsampled, skip_srcs[i]], axis=-1)
             features = self.dropp[i](self.sersp[i](stitched), train)
             if i < 3:

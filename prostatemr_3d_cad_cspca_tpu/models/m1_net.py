@@ -32,6 +32,7 @@ from flax import linen as nn
 
 from ..ops.convolution import ConvConfig
 from ..ops.distributions import kl_diag_gaussians
+from ..ops.normalization import ShardedStats
 from .blocks import StitchingProbDecoder
 from .m1_core import M1Core
 
@@ -90,6 +91,9 @@ class M1Net(nn.Module):
     fused_prob_passes: bool = True
     strict_reference_slicing: bool = False
     remat: bool = False
+    # Exact cross-shard IN/SE statistics for halo-sharded spatial SPMD
+    # (set via net.clone(sharded=...) by parallel.halo.spatial_infer_m1).
+    sharded: Optional[ShardedStats] = None
 
     def _core_kwargs(self):
         return dict(
@@ -106,6 +110,7 @@ class M1Net(nn.Module):
             probabilistic=self.probabilistic,
             prob_latent_dims=tuple(self.prob_latent_dims),
             remat=self.remat,
+            sharded=self.sharded,
         )
 
     def setup(self):
@@ -207,10 +212,12 @@ class M1CascadedNet(nn.Module):
     num_classes: int = 2
     fusion: str = "identity"  # reference passes `cascaded` string as strategy
     stage_kwargs: Any = None  # dict of M1Net fields shared by both stages
+    sharded: Optional[ShardedStats] = None
 
     def setup(self):
         kw = dict(self.stage_kwargs or {})
         kw["num_classes"] = self.num_classes
+        kw["sharded"] = self.sharded
         self.stage1 = M1Net(**kw)
         self.stage2 = M1Net(**kw)
 

@@ -17,11 +17,87 @@ TPU notes:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedStats:
+    """Context for EXACT full-volume statistics under halo-sharded SPMD.
+
+    Inside ``parallel.halo.make_spatial_predict`` every device holds
+    slab+2*halo along ``spatial_axis``. Because the halo is a multiple of the
+    network's cumulative stride, the tensor at ANY resolution keeps the
+    invariant ``local_halo = halo * t // extent`` (t = current local extent):
+    the slice [local_halo, t-local_halo) is this shard's core, and the union
+    of cores over the mesh axis is exactly the full volume. Statistics are
+    therefore computed as core-masked local sums + ``lax.psum`` — bitwise the
+    same reduction set as the unsharded network (the reference's IN always saw
+    whole volumes on one device, network_blocks.py:38-44).
+    """
+
+    axis_name: str     # mesh axis to psum over
+    spatial_axis: int  # NDHWC tensor axis that is spatially sharded
+    halo: int          # halo width at the network input resolution
+    extent: int        # local input extent incl. both halos (slab + 2*halo)
+
+
+def _core_slice(x: jax.Array, sharded: ShardedStats) -> jax.Array:
+    t = x.shape[sharded.spatial_axis]
+    h = sharded.halo * t // sharded.extent
+    sl = [slice(None)] * x.ndim
+    sl[sharded.spatial_axis] = slice(h, t - h)
+    return x[tuple(sl)]
+
+
+def revacuum(x: jax.Array, sharded: Optional[ShardedStats]) -> jax.Array:
+    """Zero the outside-the-volume ("vacuum") region of edge shards.
+
+    An unsharded SAME conv pads the TRUE volume boundary with zeros at EVERY
+    layer; in halo-sharded execution the vacuum region instead accumulates
+    conv biases / IN offsets layer over layer, so a later conv whose window
+    crosses the volume edge would read nonzero garbage. Re-zeroing the vacuum
+    after each norm (and after transposed convs, which have no following
+    norm before the next spatial conv) restores the exact zero-extension the
+    unsharded network computes with. No-op for interior shards.
+    """
+    if sharded is None:
+        return x
+    ax = sharded.spatial_axis
+    t = x.shape[ax]
+    h = sharded.halo * t // sharded.extent
+    slab = t - 2 * h
+    idx = jax.lax.axis_index(sharded.axis_name)
+    n = jax.lax.axis_size(sharded.axis_name)
+    shape = [1] * x.ndim
+    shape[ax] = t
+    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), ax)
+    gpos = pos - h + idx * slab
+    keep = (gpos >= 0) & (gpos < n * slab)
+    return jnp.where(keep, x, jnp.zeros((), x.dtype))
+
+
+def global_spatial_mean(
+    x: jax.Array, sharded: Optional[ShardedStats] = None
+) -> jax.Array:
+    """fp32-accumulated mean over all spatial dims (keepdims), cross-shard
+    exact when ``sharded`` is given. Used by the SE squeeze (GAP), which —
+    like instance norm — must span the full volume under spatial sharding."""
+    axes = tuple(range(1, x.ndim - 1))
+    if sharded is None:
+        return jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    core = _core_slice(x, sharded).astype(jnp.float32)
+    s = jnp.sum(core, axis=axes, keepdims=True)
+    n_local = 1
+    for a in axes:
+        n_local *= core.shape[a]
+    s = jax.lax.psum(s, sharded.axis_name)
+    n = n_local * jax.lax.psum(1, sharded.axis_name)
+    return s / n
 
 
 def instance_norm(
@@ -31,9 +107,33 @@ def instance_norm(
     *,
     epsilon: float = 1e-3,
     axis_name: Optional[str] = None,
+    sharded: Optional[ShardedStats] = None,
 ) -> jax.Array:
-    """Functional instance norm over all dims except batch (0) and channel (-1)."""
+    """Functional instance norm over all dims except batch (0) and channel (-1).
+
+    ``sharded`` switches to EXACT halo-aware cross-shard statistics (see
+    ShardedStats): core-masked fp32 sums + psum, then a full-tensor affine —
+    halo voxels get normalized with the global stats too, matching what the
+    owning shard computes for them.
+    """
     reduce_axes = tuple(range(1, x.ndim - 1))
+    if sharded is not None:
+        core = _core_slice(x, sharded).astype(jnp.float32)
+        s = jnp.sum(core, axis=reduce_axes, keepdims=True)
+        ss = jnp.sum(jnp.square(core), axis=reduce_axes, keepdims=True)
+        n_local = 1
+        for a in reduce_axes:
+            n_local *= core.shape[a]
+        s = jax.lax.psum(s, sharded.axis_name)
+        ss = jax.lax.psum(ss, sharded.axis_name)
+        n = n_local * jax.lax.psum(1, sharded.axis_name)
+        mean = s / n
+        var = jnp.maximum(ss / n - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + epsilon)
+        a_ = inv * scale.astype(jnp.float32)
+        b_ = bias.astype(jnp.float32) - mean * a_
+        y = (x.astype(jnp.float32) * a_ + b_).astype(x.dtype)
+        return revacuum(y, sharded)
     if axis_name is None and x.dtype != jnp.float32:
         # bf16 fast path: fp32-ACCUMULATED reductions without materializing an
         # fp32 copy (profiling showed the convert+reduce passes of the naive
@@ -77,6 +177,7 @@ class InstanceNorm(nn.Module):
     epsilon: float = 1e-3
     param_dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    sharded: Optional[ShardedStats] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -84,5 +185,6 @@ class InstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
         return instance_norm(
-            x, scale, bias, epsilon=self.epsilon, axis_name=self.axis_name
+            x, scale, bias, epsilon=self.epsilon, axis_name=self.axis_name,
+            sharded=self.sharded,
         )

@@ -155,15 +155,13 @@ def spatial_infer_m1(
     ONE SPMD program with `ppermute` halo exchange — the TPU-native form of
     whole-gland full-resolution inference (SURVEY.md §5.7).
 
-    ACCURACY CONTRACT: input-level halos make every CONV exact (proved
-    voxel-exact for pure-conv programs in tests), but M1's instance norms
-    reduce over the full volume; here each shard normalizes over slab+halo,
-    so outputs are APPROXIMATE near distribution shifts — predictions agree
-    with the unsharded network to high argmax fidelity, not bitwise. Exact
-    IN under spatial sharding requires cross-shard statistics
-    (ops.normalization.instance_norm already takes axis_name for psum stats;
-    threading it through M1 is planned — docs/ROUND1_NOTES.md). For exact
-    full-volume inference today use infer.sliding_window_predict.
+    ACCURACY CONTRACT: EXACT. Input-level halos make every conv voxel-exact,
+    and the instance norms + SE squeezes compute full-volume statistics via
+    core-masked psum (ops.normalization.ShardedStats), so sharded and
+    unsharded outputs agree to float tolerance (tested at atol 1e-5,
+    tests/test_infer_and_parallel.py). The reference's IN always saw whole
+    volumes on one device (network_blocks.py:38-44); this reproduces that
+    reduction set across shards.
     """
     cfg = model.config
     sd = spatial_axis - 1  # spatial_axis indexes (B,D,H,W,C); strides index (D,H,W)
@@ -181,7 +179,11 @@ def spatial_infer_m1(
         halo = ((margin + stride_prod - 1) // stride_prod) * stride_prod
     assert halo % stride_prod == 0, (halo, stride_prod)
 
-    net = model.net
+    from ..ops.normalization import ShardedStats
+
+    net = model.net.clone(sharded=ShardedStats(
+        axis_name=mesh_axis, spatial_axis=spatial_axis, halo=halo,
+        extent=slab + 2 * halo))
 
     def predict(x):
         return net.apply({"params": params}, x, train=False)["y_softmax"]
