@@ -112,6 +112,13 @@ def main(argv=None):
         except Exception:
             pass
 
+    # Multi-host (DCN) wiring: no-op single-process, env-driven otherwise
+    # (PROSTATEMR_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID / _MULTIHOST=1).
+    # Must run before the first backend touch below.
+    from .parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
     from .data.generators import batch_iterator, custom_data_generator
     from .data.manifest import read_manifest
     from .models.m1 import M1

@@ -1,12 +1,17 @@
-"""Offline preprocessing utilities (reference: tf2.5/scripts/preprocess.py).
+"""Offline (host-side) preprocessing for bpMRI volumes.
 
+Semantics contract — reference: tf2.5/scripts/preprocess.py
   * whitening                     — :29-39 (percentile clip + z-score)
   * center_crop                   — :42-49
-  * resample_img                  — :52-71 (SimpleITK; gated — stays host-side)
+  * resample_img                  — :52-71 (SimpleITK; host-side only)
   * resize_image_with_crop_or_pad — :74-98 (DLTK-style symmetric crop/pad)
 
-``whitening``/``center_crop``/``crop_or_pad`` also have jnp twins usable
-inside jit for device-resident preprocessing of already-loaded volumes.
+These are numerical contracts, not code to port: each function here is
+golden-tested to agree with the reference's outputs (tests/
+test_data_and_metrics.py) but structured around a single per-axis "fit"
+primitive instead of the reference's index bookkeeping.  ``whitening`` and
+``center_crop`` also have jnp twins usable inside jit for device-resident
+preprocessing of already-loaded volumes.
 """
 
 from __future__ import annotations
@@ -25,17 +30,23 @@ except Exception:  # pragma: no cover
 
 
 def whitening(image: np.ndarray, percentile: Optional[float] = None) -> np.ndarray:
-    """Z-score whitening with optional symmetric percentile clip
-    (reference preprocess.py:29-39)."""
-    image = image.astype(np.float32)
+    """Z-score normalize to mean 0 / std 1, optionally clipping symmetric
+    intensity percentiles first (reference preprocess.py:29-39).
+
+    A constant image (std == 0) maps to all-zeros rather than NaN.
+    """
+    image = np.asarray(image, dtype=np.float32)
     if percentile is not None:
-        image = np.clip(
-            image,
-            np.percentile(image, 100 - percentile),
-            np.percentile(image, percentile),
-        )
-    mean, std = np.mean(image), np.std(image)
-    return (image - mean) / std if std > 0 else image * 0.0
+        lo, hi = np.percentile(image, [100 - percentile, percentile])
+        image = np.clip(image, lo, hi)
+    std = image.std()
+    if std == 0:
+        return np.zeros_like(image)
+    return (image - image.mean()) / std
+
+
+def _span(start: int, size: int) -> slice:
+    return slice(start, start + size)
 
 
 def center_crop(
@@ -46,74 +57,85 @@ def center_crop(
     center_2d_coords: Optional[Tuple[float, float]] = None,
     multi_channel: bool = False,
 ) -> np.ndarray:
-    """Center crop, optionally around in-plane coordinates
-    (reference preprocess.py:42-49)."""
+    """Crop (cropz, cropx, cropy) around the volume center, or around given
+    in-plane coordinates (reference preprocess.py:42-49).
+
+    The crop window is anchored at ``center - size//2`` per axis; the z axis
+    always uses the volume center.
+    """
     if center_2d_coords:
-        x, y = center_2d_coords
+        cx, cy = (int(c) for c in center_2d_coords)
     else:
-        x, y = img.shape[1] // 2, img.shape[2] // 2
-    startz = img.shape[0] // 2 - (cropz // 2)
-    startx = int(x) - (cropx // 2)
-    starty = int(y) - (cropy // 2)
-    sl = (
-        slice(startz, startz + cropz),
-        slice(startx, startx + cropx),
-        slice(starty, starty + cropy),
+        cx, cy = img.shape[1] // 2, img.shape[2] // 2
+    window = (
+        _span(img.shape[0] // 2 - cropz // 2, cropz),
+        _span(cx - cropx // 2, cropx),
+        _span(cy - cropy // 2, cropy),
     )
-    return img[sl + (slice(None),)] if multi_channel else img[sl]
+    if multi_channel:
+        window += (slice(None),)
+    return img[window]
 
 
 def resample_img(itk_image, out_spacing=(2.0, 2.0, 2.0), is_label: bool = False):
-    """SimpleITK spacing resample: B-spline for images, nearest for labels
-    (reference preprocess.py:52-71). Requires SimpleITK (host-side only)."""
+    """Resample a SimpleITK image to a target voxel spacing, preserving the
+    physical extent: B-spline interpolation for images, nearest-neighbor for
+    label maps (reference preprocess.py:52-71).
+
+    Host-side ingest only — the training input format is preprocessed .npy,
+    which never touches SimpleITK.
+    """
     if not _HAS_SITK:
         raise ImportError(
             "SimpleITK is not available in this environment; resample_img is "
             "a host-side ingest utility and needs it. Preprocessed .npy "
             "volumes (the training input format) do not."
         )
-    original_spacing = itk_image.GetSpacing()
-    original_size = itk_image.GetSize()
-    out_size = [
-        int(np.round(original_size[i] * (original_spacing[i] / out_spacing[i])))
-        for i in range(3)
+    out_spacing = tuple(float(s) for s in out_spacing)
+    new_size = [
+        int(np.round(extent * (spacing / target)))
+        for extent, spacing, target in zip(
+            itk_image.GetSize(), itk_image.GetSpacing(), out_spacing
+        )
     ]
-    resample = sitk.ResampleImageFilter()
-    resample.SetOutputSpacing(tuple(out_spacing))
-    resample.SetSize(out_size)
-    resample.SetOutputDirection(itk_image.GetDirection())
-    resample.SetOutputOrigin(itk_image.GetOrigin())
-    resample.SetTransform(sitk.Transform())
-    resample.SetDefaultPixelValue(itk_image.GetPixelIDValue())
-    resample.SetInterpolator(
-        sitk.sitkNearestNeighbor if is_label else sitk.sitkBSpline
+    return sitk.Resample(
+        itk_image,
+        new_size,
+        sitk.Transform(),
+        sitk.sitkNearestNeighbor if is_label else sitk.sitkBSpline,
+        itk_image.GetOrigin(),
+        out_spacing,
+        itk_image.GetDirection(),
+        float(itk_image.GetPixelIDValue()),
+        itk_image.GetPixelID(),
     )
-    return resample.Execute(itk_image)
+
+
+def _fit_axis(extent: int, target: int) -> Tuple[slice, Tuple[int, int]]:
+    """How to take an axis of length ``extent`` to length ``target``:
+    returns (crop slice, (pad_before, pad_after)). Exactly one of the two is
+    non-trivial; both cropping and padding center the retained region, with
+    the extra voxel (odd difference) going to the trailing side."""
+    if extent < target:
+        lo = (target - extent) // 2
+        return slice(None), (lo, target - extent - lo)
+    start = (extent - target) // 2
+    return _span(start, target), (0, 0)
 
 
 def resize_image_with_crop_or_pad(
     image: np.ndarray, img_size: Sequence[int] = (64, 64, 64), **kwargs
 ) -> np.ndarray:
-    """Symmetric crop-or-pad to a fixed size (reference preprocess.py:74-98)."""
+    """Center crop-or-pad each axis to a fixed size (reference
+    preprocess.py:74-98). Trailing axes beyond ``len(img_size)`` (e.g. a
+    channel axis) pass through untouched. ``kwargs`` go to ``np.pad``.
+    """
     assert isinstance(image, (np.ndarray, np.generic))
-    assert image.ndim - 1 == len(img_size) or image.ndim == len(img_size), (
-        "Example size doesnt fit image size"
-    )
-    rank = len(img_size)
-    from_indices = [[0, image.shape[d]] for d in range(rank)]
-    to_padding = [[0, 0] for _ in range(rank)]
-    slicer = [slice(None)] * image.ndim
-    for i in range(rank):
-        if image.shape[i] < img_size[i]:
-            to_padding[i][0] = (img_size[i] - image.shape[i]) // 2
-            to_padding[i][1] = img_size[i] - image.shape[i] - to_padding[i][0]
-        else:
-            from_indices[i][0] = int(np.floor((image.shape[i] - img_size[i]) / 2.0))
-            from_indices[i][1] = from_indices[i][0] + img_size[i]
-        slicer[i] = slice(from_indices[i][0], from_indices[i][1])
-    if image.ndim > rank:
-        to_padding = to_padding + [[0, 0]] * (image.ndim - rank)
-    return np.pad(image[tuple(slicer)], to_padding, **kwargs)
+    assert image.ndim - len(img_size) in (0, 1), "Example size doesnt fit image size"
+    fits = [_fit_axis(extent, target) for extent, target in zip(image.shape, img_size)]
+    crop = tuple(sl for sl, _ in fits)
+    pad = [p for _, p in fits] + [(0, 0)] * (image.ndim - len(img_size))
+    return np.pad(image[crop], pad, **kwargs)
 
 
 # ------------------------------------------------------------------ jnp twins

@@ -58,6 +58,10 @@ def make_optimizer(
     analogue of Keras layer order) receive zero updates.
     """
     if name == "adam":
+        # eps matches tf.keras.optimizers.Adam's default (1e-7, vs optax's
+        # 1e-8) — pinned by the training-dynamics parity harness
+        # (benchmarks/parity_training.py).
+        kwargs.setdefault("eps", 1e-7)
         tx = optax.amsgrad(learning_rate=learning_rate, **kwargs)
     elif name in ("momentum", "sgd"):
         tx = optax.sgd(learning_rate=learning_rate, momentum=0.9, nesterov=True,
