@@ -1,0 +1,160 @@
+"""Round-2 probe #6: what MXU rate can a Pallas kernel sustain at the packed
+M1 conv shapes — (M=Th*Wp, K=taps*128, N=128) per tile, streamed over a
+(rows, 2560) bf16 tensor — including the in-VMEM im2col build?
+
+Decides whether the fused Pallas packed-conv engine can beat XLA's measured
+~109 TFLOP/s on the packed conv (see r2_probe_conv.py).
+
+Variants:
+  mm        — pure matmul throughput at (640, 1152) x (1152, 128), data
+              resident (upper bound, no DMA)
+  conv      — full streaming kernel: DMA tile in (+halo), im2col via static
+              slices + wp-boundary masks, matmul, bias, store (the real
+              kernel shape)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, D, H, Wp, LN = 64, 20, 160, 20, 128   # packed res0 geometry, lanes=128
+DT = jnp.bfloat16
+TAPS = 9                                  # kh=3 x kwp=3
+
+
+def timed(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def report(name, per, gbytes=None, gflops=None):
+    line = f"{name:40s} {per*1e3:8.3f} ms"
+    if gbytes:
+        line += f"  {gbytes/per:7.1f} GB/s"
+    if gflops:
+        line += f"  {gflops/per/1000:7.2f} TFLOP/s"
+    print(line, flush=True)
+
+
+def mm_probe(key):
+    M, K, N = 640, TAPS * LN, LN
+    a = jax.random.normal(key, (M, K), DT)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (K, N), DT) * 0.05
+
+    def kern(a_ref, w_ref, o_ref):
+        def body(i, acc):
+            return acc + jnp.dot(a_ref[...], w_ref[...],
+                                 preferred_element_type=jnp.float32)
+        acc = jax.lax.fori_loop(0, 200, body, jnp.zeros((M, N), jnp.float32))
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+    f = jax.jit(lambda a, w: pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), DT),
+    )(a, w))
+    per = timed(f, a, w)
+    report("pallas matmul 640x1152x128 (resident)", per / 200,
+           gflops=2 * M * K * N / 1e9)
+
+
+def conv_probe(key, th=16):
+    """Streaming fused conv: x (B*D, H, Wp*LN) -> same, kernel (1,3,3)-packed."""
+    N_ = B * D
+    x = jax.random.normal(key, (N_, H, Wp * LN), DT)
+    w = jax.random.normal(jax.random.fold_in(key, 2),
+                          (TAPS * LN, LN), DT) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 3), (LN,), jnp.float32)
+    n_h = H // th
+    M = th * Wp
+
+    def kern(x_ref, w_ref, b_ref, o_ref):
+        # x_ref: (1, th+2, Wp*LN) — th rows + 1 halo row each side
+        t = x_ref[0]                                    # (th+2, Wp*LN)
+        x2 = t.reshape((th + 2) * Wp, LN)
+        x2 = jnp.concatenate(
+            [jnp.zeros((1, LN), DT), x2], axis=0)       # guard row: starts>=0
+        cols = []
+        for dy_i in range(3):                           # input local h offset
+            for r in range(3):                          # packed-W tap
+                start = dy_i * Wp + r                   # +1 guard -1 center
+                sl = jax.lax.dynamic_slice(x2, (start, 0), (M, LN))
+                if r != 1:
+                    pos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % Wp
+                    mask = (pos != 0) if r == 0 else (pos != (Wp - 1))
+                    sl = jnp.where(mask, sl, jnp.zeros((), DT))
+                cols.append(sl)
+        xcol = jnp.concatenate(cols, axis=1)            # (M, 9*LN)
+        y = jnp.dot(xcol, w_ref[...], preferred_element_type=jnp.float32)
+        y = y + b_ref[...]
+        o_ref[0] = y.reshape(th, Wp * LN).astype(o_ref.dtype)
+
+    # H halo: one-time zero-pad outside; pl.Element windows overlap by 2 rows
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+
+    def run(xp, w, bias):
+        return pl.pallas_call(
+            kern,
+            grid=(N_, n_h),
+            in_specs=[
+                pl.BlockSpec((1, pl.Element(th + 2), Wp * LN),
+                             lambda n, h: (n, h * th, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, th, Wp * LN),
+                                   lambda n, h: (n, h, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N_, H, Wp * LN), DT),
+        )(xp, w, bias)
+
+    f = jax.jit(run)
+    # correctness vs XLA conv (same dense packed weights), on a small slice
+    got = np.asarray(f(xp[:4], w, bias)[:4], np.float32)
+    ref = jax.lax.conv_general_dilated(
+        x[:4].reshape(4, H, Wp, LN), w.reshape(3, 3, LN, LN),
+        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + bias
+    ref = np.asarray(ref.reshape(4, H, Wp * LN).astype(DT), np.float32)
+    err = np.abs(got - ref).max()
+    print(f"  correctness vs XLA conv: maxdiff {err:.2e}", flush=True)
+
+    per = timed(f, xp, w, bias)
+    gb = 2 * N_ * H * Wp * LN * 2 / 1e9
+    gf = 2 * N_ * H * Wp * TAPS * LN * LN / 1e9
+    report(f"pallas fused conv133 stream (th={th})", per, gbytes=gb, gflops=gf)
+
+
+def main():
+    which = set(sys.argv[1:]) or {"mm", "conv"}
+    print(f"devices: {jax.devices()}", flush=True)
+    key = jax.random.PRNGKey(0)
+    if "mm" in which:
+        mm_probe(key)
+    if "conv" in which:
+        for th in (16, 32):
+            conv_probe(key, th)
+
+
+if __name__ == "__main__":
+    main()

@@ -315,6 +315,36 @@ class M1:
 
     decision_fusion = staticmethod(decision_fusion)
 
+    def get_packed_forward(self) -> Callable:
+        """TPU fast-path detect: the width-packed trunk (models/m1_packed.py,
+        numerically equivalent — golden-tested in tests/test_m1_packed.py).
+        Deterministic stand-alone models only; others fall back to the
+        standard detect head.
+
+        Returns ``fast(params, inputs) -> y_softmax[..., :num_classes]``.
+        """
+        if self.cascaded or self.probabilistic or \
+                any(tuple(a) != (1, 1, 1) for a in self.config["att_sub_samp"]):
+            detect = self.get_detect_model()
+            return lambda params, inputs: detect(params, inputs)
+        from .m1_packed import PackedM1
+
+        cfg = self.config
+        fast = PackedM1(
+            input_spatial_dims=tuple(self.input_spatial_dims),
+            input_channels=self.input_channels,
+            num_classes=self.num_classes,
+            filters=tuple(cfg["filters"]),
+            strides=tuple(tuple(s) for s in cfg["strides"]),
+            kernel_sizes=tuple(tuple(k) for k in cfg["kernel_sizes"]),
+            se_reduction=tuple(cfg["se_reduction"]),
+            dense_skip=bool(cfg["dense_skip"]),
+            deep_supervision=bool(cfg["deep_supervision"]),
+            dtype=self.net.conv_cfg.dtype,
+        )
+        nc = self.num_classes
+        return lambda params, inputs: fast(params["core"], inputs)[..., :nc]
+
     # ----------------------------------------------------------- train surface
     def compile(self, optimizer=None, loss=None, loss_weights=None, **kwargs):
         """Record the training recipe (Keras-compile parity, train_model.py:231)."""

@@ -266,16 +266,26 @@ def packed_instance_norm(
 ) -> jax.Array:
     """Instance norm on a packed tensor: full-lane reductions, slot-folded
     per-channel stats, affine (optionally fused LeakyReLU) on full lanes.
-    Matches ops.normalization.instance_norm exactly (fp32 stats)."""
+
+    Follows ops.normalization.instance_norm's dtype policy: centered
+    two-pass variance at fp32 (reference-exact), one-pass E[x^2]-E[x]^2 with
+    fp32 accumulation under bf16 compute (where a second full read costs
+    more than it buys)."""
     red = (1, 2, 3)
     n = x_packed.shape[1] * x_packed.shape[2] * x_packed.shape[3] * p
-    s = jnp.sum(x_packed, axis=red, dtype=jnp.float32)           # (B, p*C)
-    q = jnp.sum(jnp.square(x_packed.astype(jnp.float32)), axis=red)
     b = x_packed.shape[0]
-    s = jnp.sum(s.reshape(b, p, channels), axis=1)               # (B, C)
-    q = jnp.sum(q.reshape(b, p, channels), axis=1)
+
+    def fold(t):  # (B, p*C) -> (B, C)
+        return jnp.sum(t.reshape(b, p, channels), axis=1)
+
+    s = fold(jnp.sum(x_packed, axis=red, dtype=jnp.float32))
     mean = s / n
-    var = jnp.maximum(q / n - jnp.square(mean), 0.0)
+    if x_packed.dtype == jnp.float32:
+        mu_l = jnp.tile(mean, (1, p))[:, None, None, None, :]
+        var = fold(jnp.sum(jnp.square(x_packed - mu_l), axis=red)) / n
+    else:
+        q = fold(jnp.sum(jnp.square(x_packed.astype(jnp.float32)), axis=red))
+        var = jnp.maximum(q / n - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + epsilon)
     a = inv * scale.astype(jnp.float32)
     c = bias.astype(jnp.float32) - mean * a
