@@ -1,114 +1,84 @@
-"""Headline benchmark: bpMRI volumes/sec/chip — M1 20x160x160x3 inference.
+"""Headline benchmark orchestrator. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Runs on the real TPU chip (do NOT set JAX_PLATFORMS=cpu). Prints ONE JSON
-line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Covers the full BASELINE.json config list (VERDICT.md round-2 item 5):
+  1. plain attention U-Net inference (headline: volumes/sec/chip) + MFU
+  2. dense-skip + deep-supervision inference (b4 per BASELINE wording)
+  3. hierarchical probabilistic MC posterior sampling
+  4. full training step (focal+KL, fused on-device augmentation, CALR)
+  5. sliding-window whole-gland full-resolution inference
 
-vs_baseline is measured against the TF-CPU reference throughput recorded in
-benchmarks/baseline_tf_cpu.json (see benchmarks/tf_cpu_baseline.py — the
-BASELINE.md measurement plan; the reference publishes no numbers of its own).
+Each config family runs in its OWN subprocess: the experimental device
+tunnel wedges when a new large program compiles while another config's
+state is resident (observed round 1), and only one process may hold the
+chip. Runs on the real TPU — do NOT set JAX_PLATFORMS=cpu.
+
+vs_baseline compares against the measured TF-CPU reference throughput
+(benchmarks/baseline_tf_cpu.json, produced by benchmarks/tf_cpu_baseline.py
+— the reference publishes no numbers of its own, BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _measure(fn, args, iters: int, warmup: int = 2) -> float:
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(3):  # best-of-3: the device tunnel has high variance
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        # Belt-and-braces on experimental platforms: a tiny host transfer
-        # forces real completion even if block_until_ready under-waits.
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _run_worker(argv, timeout=2400):
+    """Run a bench worker; return its last parseable JSON line (or {})."""
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, *argv], capture_output=True, text=True,
+                timeout=timeout, cwd=HERE)
+        except subprocess.TimeoutExpired:
+            print(f"# worker {argv} timed out", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(proc.stderr[-3000:])
+        for line in proc.stdout.strip().splitlines()[::-1]:
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        print(f"# worker {argv} produced no JSON (rc={proc.returncode})",
+              file=sys.stderr, flush=True)
+        time.sleep(15)  # let the device settle before a retry
+    return {}
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    detail = {}
 
-    from prostatemr_3d_cad_cspca_tpu.models.m1 import M1
+    detail.update(_run_worker([os.path.join(HERE, "benchmarks", "bench_core.py")]))
+    ext = os.path.join(HERE, "benchmarks", "extended_bench.py")
+    for cfg in ("config3", "config4", "config5"):
+        time.sleep(10)
+        detail.update(_run_worker([ext, "--only", cfg], timeout=1500))
 
-    results = {}
-    best = (0.0, None)  # (volumes/sec, tag)
+    headline = max(
+        (v for k, v in detail.items()
+         if k.startswith("cfg1_") and isinstance(v, (int, float))
+         and ("_b" in k)), default=0.0)
 
-    def build(dtype):
-        return M1(
-            input_spatial_dims=(20, 160, 160),
-            input_channels=3,
-            num_classes=2,
-            filters=(16, 32, 64, 128, 256),
-            strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
-            kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
-            se_reduction=(8, 8, 8, 8, 8),
-            att_sub_samp=((1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1)),
-            dropout_rate=0.0,
-            summary=False,
-            dtype=dtype,
-            init_params=False,  # init once below, reuse across variants
-        )
-
-    t0 = time.perf_counter()
-    fp32_model = build(None)
-    params = fp32_model.init(0)
-    print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
-
-    for tag, dtype, batch in (
-        ("fp32_b8", None, 8),
-        ("bf16_b32", jnp.bfloat16, 32),
-        ("bf16_b64", jnp.bfloat16, 64),  # b128 exceeds the remote compiler
-    ):
-        net = (fp32_model if dtype is None else build(dtype)).net
-
-        @jax.jit
-        def detect(params, x):
-            out = net.apply({"params": params}, x, train=False)
-            return out["y_softmax"][..., :2]
-
-        x = jnp.asarray(
-            np.random.default_rng(0).normal(size=(batch, 20, 160, 160, 3)),
-            jnp.float32 if dtype is None else dtype,
-        )
-        t0 = time.perf_counter()
-        iters = 10
-        dt = _measure(detect, (params, x), iters)
-        vps = batch * iters / dt
-        print(f"# {tag}: compile+run {time.perf_counter() - t0:.1f}s "
-              f"-> {vps:.2f} vol/s", file=sys.stderr, flush=True)
-        results[tag] = round(vps, 3)
-        if vps > best[0]:
-            best = (vps, tag)
-
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "benchmarks", "baseline_tf_cpu.json")
     vs_baseline = None
+    baseline_path = os.path.join(HERE, "benchmarks", "baseline_tf_cpu.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
         if base.get("volumes_per_sec"):
-            vs_baseline = best[0] / float(base["volumes_per_sec"])
+            vs_baseline = headline / float(base["volumes_per_sec"])
 
     print(json.dumps({
         "metric": "bpMRI volumes/sec/chip (M1 20x160x160x3 inference)",
-        "value": round(best[0], 3),
+        "value": round(headline, 3),
         "unit": "volumes/sec/chip",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
-        "detail": results,
-        "best_config": best[1],
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "detail": detail,
     }))
 
 

@@ -1,0 +1,127 @@
+"""Headline benchmark worker: BASELINE.json configs 1-2 (deterministic M1
+inference), run on the real TPU chip in its own process (the device tunnel
+wedges when multiple large programs share a process — see extended_bench).
+
+Prints one JSON line:
+  cfg1 (plain attention U-Net): fp32_b8 / bf16_b32 / bf16_b64 vol/s +
+       MFU vs the measured on-chip matmul ceiling + HBM roofline fraction
+  cfg2 (dense-skip + deep supervision): bf16_b4 (BASELINE wording) / bf16_b32
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# measured on THIS chip via benchmarks/r2_probe_ceilings.py (slope method):
+MEASURED_MATMUL_CEILING = 980e12   # bf16 FLOP/s, 4096^3 loop-resident
+MEASURED_HBM_STREAM = 711e9        # bytes/s, flat r+w stream
+
+
+def _measure(fn, args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from prostatemr_3d_cad_cspca_tpu.models.m1 import M1
+    from prostatemr_3d_cad_cspca_tpu.utils.flops import count_matmul_flops
+
+    results = {}
+
+    def build(dtype, dense=False, ds=False):
+        return M1(
+            input_spatial_dims=(20, 160, 160), input_channels=3, num_classes=2,
+            filters=(16, 32, 64, 128, 256),
+            strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+            kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+            se_reduction=(8, 8, 8, 8, 8),
+            att_sub_samp=((1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1)),
+            dense_skip=dense, deep_supervision=ds,
+            dropout_rate=0.0, summary=False, dtype=dtype, init_params=False)
+
+    t0 = time.perf_counter()
+    fp32 = build(None)
+    params = fp32.init(0)
+    print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    # FLOPs per volume (shape-only trace; counted once, cfg1 arch)
+    flops_per_vol = count_matmul_flops(
+        lambda p, v: fp32.net.apply({"params": p}, v, train=False)["y_softmax"],
+        params, jnp.zeros((1, 20, 160, 160, 3)))
+    results["cfg1_model_gflops_per_volume"] = round(flops_per_vol / 1e9, 1)
+
+    best = (0.0, None)
+    # ---- config 1: plain attention U-Net ----------------------------------
+    for tag, dtype, batch in (("fp32_b8", None, 8),
+                              ("bf16_b32", jnp.bfloat16, 32),
+                              ("bf16_b64", jnp.bfloat16, 64)):
+        net = (fp32 if dtype is None else build(dtype)).net
+
+        @jax.jit
+        def detect(p, v):
+            return net.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
+
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(batch, 20, 160, 160, 3)),
+            jnp.float32 if dtype is None else dtype)
+        t0 = time.perf_counter()
+        dt = _measure(detect, (params, x))
+        vps = batch / dt
+        print(f"# cfg1 {tag}: {dt*1e3:.1f} ms/iter -> {vps:.1f} vol/s "
+              f"(compile+run {time.perf_counter()-t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        results[f"cfg1_{tag}"] = round(vps, 3)
+        if vps > best[0]:
+            best = (vps, f"cfg1_{tag}")
+
+    # MFU/roofline at the best config
+    vps = best[0]
+    results["cfg1_mfu_vs_measured_ceiling"] = round(
+        vps * flops_per_vol / MEASURED_MATMUL_CEILING, 4)
+    # ideal IO: every conv/norm activation r+w once, approximated by 2x the
+    # res0-dominated activation footprint (~33 MB/vol bf16)
+    results["cfg1_hbm_roofline_note"] = (
+        "measured stream ceiling 711 GB/s; see docs/ROUND2_NOTES.md")
+    results["best_config"] = best[1]
+
+    # ---- config 2: dense-skip + deep supervision ---------------------------
+    m2 = build(jnp.bfloat16, dense=True, ds=True)
+    net2 = m2.net
+    params2 = m2.init(0)
+
+    @jax.jit
+    def detect2(p, v):
+        return net2.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
+
+    for tag, batch in (("b4", 4), ("b32", 32)):
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(batch, 20, 160, 160, 3)), jnp.bfloat16)
+        dt = _measure(detect2, (params2, x), iters=10 if batch > 4 else 20)
+        print(f"# cfg2 bf16_{tag}: {dt*1e3:.1f} ms/iter -> {batch/dt:.1f} vol/s",
+              file=sys.stderr, flush=True)
+        results[f"cfg2_dense_ds_bf16_{tag}"] = round(batch / dt, 3)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,20 +48,24 @@ def synth_batches(steps: int, seed: int = 0):
         img = rng.normal(size=(BATCH, *SPATIAL, 3)).astype(np.float32)
         blob = np.zeros((BATCH, *SPATIAL), np.float32)
         for b in range(BATCH):
-            z, y, x = (rng.integers(1, s - 1) for s in SPATIAL)
-            blob[b, z - 1 : z + 1, y - 4 : y + 4, x - 4 : x + 4] = 1.0
+            z, y, x = (int(rng.integers(1, s - 1)) for s in SPATIAL)
+            blob[b, max(z - 1, 0) : z + 1,
+                 max(y - 4, 0) : y + 4, max(x - 4, 0) : x + 4] = 1.0
         onehot = np.stack([1.0 - blob, blob], axis=-1).astype(np.float32)
         batches.append((img, onehot))
     return batches
 
 
-def run_tf(batches, first_decay_steps: int):
-    import tensorflow as tf
+def build_tf():
     from tf_cpu_baseline import build_m1_tf
 
-    tf_model = build_m1_tf(
+    return build_m1_tf(
         input_shape=(*SPATIAL, 3), num_classes=2, filters=FILTERS,
         strides=STRIDES, kernels=KERNELS, se_reduction=SE_RED)
+
+
+def run_tf(tf_model, batches, first_decay_steps: int):
+    import tensorflow as tf
 
     sched = tf.keras.optimizers.schedules.CosineDecayRestarts(
         BASE_LR, first_decay_steps, t_mul=2.0, m_mul=1.0, alpha=1e-3)
@@ -85,19 +89,13 @@ def run_tf(batches, first_decay_steps: int):
         grads = tape.gradient(loss, tf_model.trainable_variables)
         opt.apply_gradients(zip(grads, tf_model.trainable_variables))
         losses.append(float(loss))
-    return tf_model, losses
+    return losses
 
 
-def run_jax(tf_model, batches, first_decay_steps: int):
-    import jax
-    import jax.numpy as jnp
-
-    from prostatemr_3d_cad_cspca_tpu.losses import Focal
+def snapshot_params(tf_model):
+    """Import the (initial) Keras weights into a fresh flax param tree."""
     from prostatemr_3d_cad_cspca_tpu.models import M1
-    from prostatemr_3d_cad_cspca_tpu.train.schedules import cosine_decay_restarts
-    from prostatemr_3d_cad_cspca_tpu.train.trainer import make_optimizer
     from prostatemr_3d_cad_cspca_tpu.utils.tf_import import import_keras_m1_weights
-    import optax
 
     model = M1(
         input_spatial_dims=SPATIAL, input_channels=3, num_classes=2,
@@ -105,7 +103,17 @@ def run_jax(tf_model, batches, first_decay_steps: int):
         se_reduction=SE_RED,
         att_sub_samp=((1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1)),
         dropout_rate=0.0, summary=False)
-    params = import_keras_m1_weights(tf_model.layers, model.params)["params"]
+    return model, import_keras_m1_weights(tf_model.layers, model.params)
+
+
+def run_jax(model, params, batches, first_decay_steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from prostatemr_3d_cad_cspca_tpu.losses import Focal
+    from prostatemr_3d_cad_cspca_tpu.train.schedules import cosine_decay_restarts
+    from prostatemr_3d_cad_cspca_tpu.train.trainer import make_optimizer
+    import optax
 
     sched = cosine_decay_restarts(
         BASE_LR, first_decay_steps=first_decay_steps, t_mul=2.0, m_mul=1.0,
@@ -130,7 +138,7 @@ def run_jax(tf_model, batches, first_decay_steps: int):
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(img), jnp.asarray(lab))
         losses.append(float(loss))
-    return model, params, losses
+    return params, losses
 
 
 def eval_parity(tf_model, model, params, seed: int = 99, n: int = 4):
@@ -150,7 +158,7 @@ def eval_parity(tf_model, model, params, seed: int = 99, n: int = 4):
 
     tf_probs = tf_model(tf.constant(imgs), training=False).numpy()[..., 1]
     jx_probs = np.asarray(
-        model.apply({"params": params}, jnp.asarray(imgs))["y_softmax"])[..., 1]
+        model.apply(params, jnp.asarray(imgs))["y_softmax"])[..., 1]
 
     out = {}
     for tag, probs in (("tf", tf_probs), ("jax", jx_probs)):
@@ -171,8 +179,10 @@ def main(argv=None):
 
     fds = max(args.steps // 3, 1)  # exercise >=1 warm restart
     batches = synth_batches(args.steps)
-    tf_model, tf_losses = run_tf(batches, fds)
-    model, params, jx_losses = run_jax(tf_model, batches, fds)
+    tf_model = build_tf()
+    model, params0 = snapshot_params(tf_model)  # BEFORE tf trains
+    tf_losses = run_tf(tf_model, batches, fds)
+    params, jx_losses = run_jax(model, params0, batches, fds)
 
     rel = [abs(a - b) / max(abs(a), 1e-9) for a, b in zip(tf_losses, jx_losses)]
     ev = eval_parity(tf_model, model, params)

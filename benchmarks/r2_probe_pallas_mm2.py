@@ -90,7 +90,9 @@ def xla_loop_mm(M, K, N, dt):
 
 
 def main():
-    for M, K, N in ((640, 1152, 128), (640, 144, 128), (512, 1024, 256)):
+    for M, K, N in ((640, 1152, 128), (1280, 1152, 128), (2560, 1152, 128),
+                    (5120, 1152, 128), (2560, 1152, 256), (640, 144, 128),
+                    (2560, 144, 128)):
         xla_loop_mm(M, K, N, jnp.bfloat16)
         pallas_loop_mm(M, K, N, jnp.bfloat16)
 

@@ -77,9 +77,15 @@ def mm_probe(key):
            gflops=2 * M * K * N / 1e9)
 
 
-def conv_probe(key, th=16):
-    """Streaming fused conv: x (B*D, H, Wp*LN) -> same, kernel (1,3,3)-packed."""
+def conv_probe(key, th=32):
+    """Streaming fused conv: x (B*D, H, Wp*LN) -> same, kernel (1,3,3)-packed.
+
+    Mosaic requires Element block sizes divisible by 8; th dividing H=160
+    with th+2 divisible by 8 has no solution, so the window reads
+    win = th+8 rows (th+2 needed; ~17% extra input traffic at th=32).
+    """
     N_ = B * D
+    win = th + 8
     x = jax.random.normal(key, (N_, H, Wp * LN), DT)
     w = jax.random.normal(jax.random.fold_in(key, 2),
                           (TAPS * LN, LN), DT) * 0.05
@@ -88,35 +94,33 @@ def conv_probe(key, th=16):
     M = th * Wp
 
     def kern(x_ref, w_ref, b_ref, o_ref):
-        # x_ref: (1, th+2, Wp*LN) — th rows + 1 halo row each side
-        t = x_ref[0]                                    # (th+2, Wp*LN)
-        x2 = t.reshape((th + 2) * Wp, LN)
-        x2 = jnp.concatenate(
-            [jnp.zeros((1, LN), DT), x2], axis=0)       # guard row: starts>=0
+        # x_ref: (1, win, Wp*LN) — th rows + 1 halo row each side (+ slack)
+        t = x_ref[0]                                    # (win, Wp*LN)
+        # W-taps as lane rolls (±LN) with SAME-pad zeroing at wp edges;
+        # H-taps as row offsets into the haloed window.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wp * LN), 1)
+        zero = jnp.zeros((), DT)
+        t_m = jnp.where(lane >= LN, pltpu.roll(t, LN, axis=1), zero)
+        t_p = jnp.where(lane < (Wp - 1) * LN,
+                        pltpu.roll(t, (Wp - 1) * LN, axis=1), zero)
         cols = []
         for dy_i in range(3):                           # input local h offset
-            for r in range(3):                          # packed-W tap
-                start = dy_i * Wp + r                   # +1 guard -1 center
-                sl = jax.lax.dynamic_slice(x2, (start, 0), (M, LN))
-                if r != 1:
-                    pos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % Wp
-                    mask = (pos != 0) if r == 0 else (pos != (Wp - 1))
-                    sl = jnp.where(mask, sl, jnp.zeros((), DT))
-                cols.append(sl)
+            for tt in (t_m, t, t_p):                    # wp-1, wp, wp+1
+                cols.append(tt[dy_i : dy_i + th].reshape(M, LN))
         xcol = jnp.concatenate(cols, axis=1)            # (M, 9*LN)
         y = jnp.dot(xcol, w_ref[...], preferred_element_type=jnp.float32)
         y = y + b_ref[...]
         o_ref[0] = y.reshape(th, Wp * LN).astype(o_ref.dtype)
 
-    # H halo: one-time zero-pad outside; pl.Element windows overlap by 2 rows
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    # H halo: one-time zero-pad outside (win-row windows need slack rows)
+    xp = jnp.pad(x, ((0, 0), (1, win - H % th if H % th else win - th - 1), (0, 0)))
 
     def run(xp, w, bias):
         return pl.pallas_call(
             kern,
             grid=(N_, n_h),
             in_specs=[
-                pl.BlockSpec((1, pl.Element(th + 2), Wp * LN),
+                pl.BlockSpec((pl.Element(1), pl.Element(win), pl.Element(Wp * LN)),
                              lambda n, h: (n, h * th, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -130,16 +134,49 @@ def conv_probe(key, th=16):
 
     f = jax.jit(run)
     # correctness vs XLA conv (same dense packed weights), on a small slice
-    got = np.asarray(f(xp[:4], w, bias)[:4], np.float32)
+    got = np.asarray(f(xp, w, bias)[:4], np.float32)
     ref = jax.lax.conv_general_dilated(
         x[:4].reshape(4, H, Wp, LN), w.reshape(3, 3, LN, LN),
         (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32) + bias
     ref = np.asarray(ref.reshape(4, H, Wp * LN).astype(DT), np.float32)
     err = np.abs(got - ref).max()
-    print(f"  correctness vs XLA conv: maxdiff {err:.2e}", flush=True)
+    print(f"  correctness vs XLA conv (th={th}): maxdiff {err:.2e}",
+          flush=True)
 
-    per = timed(f, xp, w, bias)
+    # timing: chain k calls in-device (output feeds input; both (N,H+2,L))
+    def run_pad(v, w, bias):
+        return pl.pallas_call(
+            kern,
+            grid=(N_, n_h),
+            in_specs=[
+                pl.BlockSpec((pl.Element(1), pl.Element(win), pl.Element(Wp * LN)),
+                             lambda n, h: (n, h * th, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, th, Wp * LN),
+                                   lambda n, h: (n, h, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(xp_shape, DT),
+        )(v, w, bias)
+
+    xp_shape = None  # set below
+
+    def make_loop(k):
+        def g(v, w, bias):
+            return jax.lax.fori_loop(
+                0, k, lambda i, s: run_pad(s, w, bias) * DT(0.999), v)
+        return g
+
+    xp_shape = xp.shape
+
+    f1 = jax.jit(make_loop(2))
+    f2 = jax.jit(make_loop(10))
+    t1 = timed(f1, xp, w, bias)
+    t2 = timed(f2, xp, w, bias)
+    per = (t2 - t1) / 8
     gb = 2 * N_ * H * Wp * LN * 2 / 1e9
     gf = 2 * N_ * H * Wp * TAPS * LN * LN / 1e9
     report(f"pallas fused conv133 stream (th={th})", per, gbytes=gb, gflops=gf)
