@@ -71,9 +71,12 @@ def main():
 
     best = (0.0, None)
     # ---- config 1: plain attention U-Net ----------------------------------
+    # batch sweep caps at 120: b124+ is HBM RESOURCE_EXHAUSTED on this chip
+    # and the per-program cost dominates below b96 (docs/ROUND2_NOTES.md).
     for tag, dtype, batch in (("fp32_b8", None, 8),
-                              ("bf16_b32", jnp.bfloat16, 32),
-                              ("bf16_b64", jnp.bfloat16, 64)):
+                              ("bf16_b64", jnp.bfloat16, 64),
+                              ("bf16_b96", jnp.bfloat16, 96),
+                              ("bf16_b120", jnp.bfloat16, 120)):
         net = (fp32 if dtype is None else build(dtype)).net
 
         @jax.jit

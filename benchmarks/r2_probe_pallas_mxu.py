@@ -93,27 +93,30 @@ def conv_probe(key, th=32):
     n_h = H // th
     M = th * Wp
 
-    def kern(x_ref, w_ref, b_ref, o_ref):
-        # x_ref: (1, win, Wp*LN) — th rows + 1 halo row each side (+ slack)
+    def kern(x_ref, w_ref, b_ref, o_ref, xcol_ref):
+        # x_ref: (1, win, Wp*LN); local row dy_i in {1,2,3} is orig h+dy_i-2
+        # (the array is top-padded by 2 rows, so flat starts stay >= 0).
         t = x_ref[0]                                    # (win, Wp*LN)
-        # W-taps as lane rolls (±LN) with SAME-pad zeroing at wp edges;
-        # H-taps as row offsets into the haloed window.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wp * LN), 1)
-        zero = jnp.zeros((), DT)
-        t_m = jnp.where(lane >= LN, pltpu.roll(t, LN, axis=1), zero)
-        t_p = jnp.where(lane < (Wp - 1) * LN,
-                        pltpu.roll(t, (Wp - 1) * LN, axis=1), zero)
-        cols = []
-        for dy_i in range(3):                           # input local h offset
+        # W-taps as lane-aligned shifts: concat with a zero block gives the
+        # wp+-1 neighbor AND the SAME zero padding at the W edges for free.
+        zcol = jnp.zeros((win, LN), DT)
+        t_m = jnp.concatenate([zcol, t[:, : (Wp - 1) * LN]], axis=1)
+        t_p = jnp.concatenate([t[:, LN:], zcol], axis=1)
+        # im2col into an aligned VMEM scratch -> ONE deep (M,1152)x(1152,LN)
+        # MXU pass instead of 9 half-depth ones.
+        idx = 0
+        for dy_i in range(1, 4):                        # input local h offset
             for tt in (t_m, t, t_p):                    # wp-1, wp, wp+1
-                cols.append(tt[dy_i : dy_i + th].reshape(M, LN))
-        xcol = jnp.concatenate(cols, axis=1)            # (M, 9*LN)
-        y = jnp.dot(xcol, w_ref[...], preferred_element_type=jnp.float32)
+                sl = jax.lax.slice_in_dim(tt, dy_i, dy_i + th, axis=0)
+                xcol_ref[:, idx * LN : (idx + 1) * LN] = sl.reshape(M, LN)
+                idx += 1
+        y = jnp.dot(xcol_ref[...], w_ref[...],
+                    preferred_element_type=jnp.float32)
         y = y + b_ref[...]
         o_ref[0] = y.reshape(th, Wp * LN).astype(o_ref.dtype)
 
-    # H halo: one-time zero-pad outside (win-row windows need slack rows)
-    xp = jnp.pad(x, ((0, 0), (1, win - H % th if H % th else win - th - 1), (0, 0)))
+    # H halo: zero-pad 2 rows on top (keeps flat tap starts >= 0) + slack
+    xp = jnp.pad(x, ((0, 0), (2, win - th - 2), (0, 0)))
 
     def run(xp, w, bias):
         return pl.pallas_call(
@@ -130,6 +133,7 @@ def conv_probe(key, th=32):
                                    lambda n, h: (n, h, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N_, H, Wp * LN), DT),
+            scratch_shapes=[pltpu.VMEM((M, TAPS * LN), DT)],
         )(xp, w, bias)
 
     f = jax.jit(run)
@@ -160,6 +164,7 @@ def conv_probe(key, th=32):
                                    lambda n, h: (n, h, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xp_shape, DT),
+            scratch_shapes=[pltpu.VMEM((M, TAPS * LN), DT)],
         )(v, w, bias)
 
     xp_shape = None  # set below

@@ -1,3 +1,20 @@
-"""Pallas TPU kernels for the memory-bound hot ops."""
+"""Pallas TPU kernels.
 
-from .fused_norm import fused_instance_norm_lrelu  # noqa: F401
+Round-2 finding (VERDICT.md item 6, measurements in docs/ROUND2_NOTES.md
+and benchmarks/r2_probe_pallas_mxu.py): on this stack — Mosaic targeting
+the advertised v5e ISA over a remote-compile tunnel — hand-written kernels
+for the M1 hot chains could not beat XLA's own fusion:
+
+  * the fused IN+LReLU kernel measured slower than XLA's stats+apply
+    fusion at every M1 shape (round 1: 11.2 ms vs 4.5 ms at the stem) and
+    was deleted rather than kept as dead weight;
+  * a streaming im2col packed-conv kernel (pl.Element halo windows,
+    lane-aligned W-taps, single deep-K MXU pass) reached 62 TFLOP/s,
+    bit-exact vs the XLA conv, but XLA's packed conv runs at 109 TFLOP/s.
+
+The TPU-native perf path therefore lives in XLA-level restructurings
+(ops/packing.py, models/m1_packed.py, batch scaling) — see
+docs/ROUND2_NOTES.md for the full measurement log. The probe kernels are
+kept under benchmarks/ as the qualification harness for future Mosaic
+toolchains.
+"""
