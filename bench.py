@@ -31,11 +31,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def _run_worker(argv, timeout=2400):
     """Run a bench worker; return its last parseable JSON line (or {})."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
     for attempt in range(2):
         try:
             proc = subprocess.run(
                 [sys.executable, *argv], capture_output=True, text=True,
-                timeout=timeout, cwd=HERE)
+                timeout=timeout, cwd=HERE, env=env)
         except subprocess.TimeoutExpired:
             print(f"# worker {argv} timed out", file=sys.stderr, flush=True)
             continue

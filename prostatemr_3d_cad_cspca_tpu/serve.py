@@ -1,0 +1,195 @@
+"""Batch inference / deployment driver ("serving").
+
+The reference ships no serving code — deployment happened through a
+grand-challenge.org algorithm container around the trained M1
+(reference README.md:6). This module is that container's engine, TPU-native:
+
+  * one jitted detect program reused across cases (compile once);
+  * cases batched by shape to keep the MXU busy (big batches amortize the
+    per-program cost — see docs/ROUND2_NOTES.md);
+  * whole-gland volumes larger than the training window go through
+    Gaussian-blended sliding-window inference (infer.sliding_window_predict);
+  * probabilistic / monte-carlo models emit mean + per-voxel std over
+    --MC_ITER posterior samples (reference --UNET_PROBA_ITER,
+    train_model.py:71);
+  * outputs: <p-id>_detection.npy (+ _uncertainty.npy) and a summary JSON
+    with ranked lesion candidates (train.metrics.extract_lesion_candidates).
+
+CLI:
+  python -m prostatemr_3d_cad_cspca_tpu.serve \
+      --MODEL weights/F1/model_weights_250.npz \
+      --MANIFEST feed/test.csv --OUTPUT_DIR out/ [--BATCH_SIZE 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="M1 batch inference driver")
+    p.add_argument("--MODEL", type=str, required=True,
+                   help="checkpoint path (M1.save / CLI WeightsSaver output)")
+    p.add_argument("--MANIFEST", type=str, required=True,
+                   help="csv/tsv/xlsx manifest with p-id,image_path columns")
+    p.add_argument("--OUTPUT_DIR", type=str, required=True)
+    p.add_argument("--TRAIN_OBJ", type=str, default="lesion")
+    p.add_argument("--BATCH_SIZE", type=int, default=8)
+    p.add_argument("--MC_ITER", type=int, default=1,
+                   help="posterior samples for probabilistic/MC models")
+    p.add_argument("--SW_OVERLAP", type=float, default=0.5,
+                   help="sliding-window overlap for oversized volumes")
+    p.add_argument("--WHITEN", type=int, default=0,
+                   help="z-score inputs (for volumes not pre-whitened)")
+    p.add_argument("--SEED", type=int, default=0)
+    p.add_argument("--SAVE_UNCERTAINTY", type=int, default=1)
+    return p
+
+
+class InferenceSession:
+    """Compile-once detect wrapper around a loaded M1 model."""
+
+    def __init__(self, model, mc_iter: int = 1, seed: int = 0):
+        import jax
+
+        self.model = model
+        self.mc_iter = int(mc_iter)
+        self._rng = jax.random.PRNGKey(seed)
+        self._needs_rng = bool(
+            model.probabilistic
+            or model.config.get("dropout_mode") == "monte-carlo")
+        detect = model.get_detect_model()
+
+        if self._needs_rng and self.mc_iter > 1:
+            from .infer import mc_predict
+
+            def run(params, x, rng):
+                return mc_predict(detect, params, x, rng,
+                                  num_samples=self.mc_iter,
+                                  reduce="mean_std")
+            self._fn = jax.jit(run)
+        elif self._needs_rng:
+            self._fn = jax.jit(lambda p, x, r: detect(p, x, rng=r))
+        else:
+            self._fn = jax.jit(lambda p, x: detect(p, x))
+
+    def __call__(self, batch: np.ndarray):
+        """(B, D, H, W, C) -> (probs, uncertainty | None), fp32 numpy."""
+        import jax
+
+        if self._needs_rng:
+            self._rng, sub = jax.random.split(self._rng)
+            out = self._fn(self.model.params, batch, sub)
+        else:
+            out = self._fn(self.model.params, batch)
+        if isinstance(out, tuple) and self.mc_iter > 1:
+            mean, std = out
+            return np.asarray(mean, np.float32), np.asarray(std, np.float32)
+        if isinstance(out, tuple):  # cascaded: final-stage detection
+            out = out[-1]
+        return np.asarray(out, np.float32), None
+
+    def predict_case(self, volume: np.ndarray, sw_overlap: float = 0.5):
+        """One whole volume (D, H, W, C); sliding-window when oversized."""
+        window = tuple(self.model.input_spatial_dims)
+        if tuple(volume.shape[:-1]) == window:
+            probs, unc = self(volume[None])
+            return probs[0], (unc[0] if unc is not None else None)
+        from .infer import sliding_window_predict
+
+        probs = sliding_window_predict(
+            lambda t: self(np.asarray(t))[0], volume, window=window,
+            overlap=sw_overlap)
+        return np.asarray(probs, np.float32), None
+
+
+def _load_case(row: Dict[str, str], train_obj: str, channels: int,
+               whiten: bool) -> np.ndarray:
+    from .data.generators import load_sample
+
+    sample = load_sample(row, train_obj=train_obj, mode="test",
+                         probabilistic=False)
+    vol = sample["image"][..., :channels].astype(np.float32)
+    if whiten:
+        from .data.preprocess import whitening
+
+        vol = np.stack([whitening(vol[..., c])
+                        for c in range(vol.shape[-1])], axis=-1)
+    return vol
+
+
+def run(args) -> List[Dict]:
+    from .data.manifest import read_manifest
+    from .models.m1 import M1
+    from .train.metrics import extract_lesion_candidates
+
+    os.makedirs(args.OUTPUT_DIR, exist_ok=True)
+    model = M1.load(args.MODEL)
+    session = InferenceSession(model, mc_iter=args.MC_ITER, seed=args.SEED)
+    window = tuple(model.input_spatial_dims)
+    rows = read_manifest(args.MANIFEST)
+
+    # group window-sized cases into batches; oversized go one-by-one (SW)
+    results: List[Dict] = []
+    pending: List[tuple] = []
+
+    def flush():
+        if not pending:
+            return
+        ids, vols = zip(*pending)
+        probs, unc = session(np.stack(vols))
+        for i, pid in enumerate(ids):
+            results.append(_emit(pid, probs[i],
+                                 unc[i] if unc is not None else None))
+        pending.clear()
+
+    def _emit(pid: str, probs: np.ndarray, unc: Optional[np.ndarray]) -> Dict:
+        det_path = os.path.join(args.OUTPUT_DIR, f"{pid}_detection.npy")
+        np.save(det_path, probs.astype(np.float32))
+        entry: Dict = {"p-id": pid, "detection_path": det_path}
+        if unc is not None and args.SAVE_UNCERTAINTY:
+            unc_path = os.path.join(args.OUTPUT_DIR, f"{pid}_uncertainty.npy")
+            np.save(unc_path, unc.astype(np.float32))
+            entry["uncertainty_path"] = unc_path
+        fg = probs[..., -1]
+        cands = sorted(extract_lesion_candidates(fg),
+                       key=lambda c: -c["score"])
+        entry["lesion_candidates"] = [
+            {"score": round(c["score"], 6), "voxels": c["voxels"]}
+            for c in cands[:10]]
+        entry["case_score"] = round(float(fg.max()), 6)
+        return entry
+
+    for row in rows:
+        pid = row.get("p-id", os.path.basename(row["image_path"]))
+        vol = _load_case(row, args.TRAIN_OBJ, model.input_channels,
+                         bool(args.WHITEN))
+        if tuple(vol.shape[:-1]) == window:
+            pending.append((pid, vol))
+            if len(pending) >= args.BATCH_SIZE:
+                flush()
+        else:
+            flush()
+            probs, unc = session.predict_case(vol, sw_overlap=args.SW_OVERLAP)
+            results.append(_emit(pid, probs, unc))
+    flush()
+
+    summary_path = os.path.join(args.OUTPUT_DIR, "predictions.json")
+    with open(summary_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"{len(results)} cases -> {summary_path}", flush=True)
+    return results
+
+
+def main(argv=None):
+    args, _ = build_parser().parse_known_args(argv)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()
