@@ -109,7 +109,7 @@ def make_spatial_predict(
     keeps its core — outputs stay sharded for downstream reduction, and a
     final with_sharding_constraint gathers when the caller asks.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ndim = 5
     spec = [None] * ndim
@@ -124,7 +124,7 @@ def make_spatial_predict(
         return out[tuple(sl)]
 
     fn = shard_map(
-        local_fn, mesh=mesh, in_specs=(part,), out_specs=part, check_rep=False)
+        local_fn, mesh=mesh, in_specs=(part,), out_specs=part, check_vma=False)
     return jax.jit(fn)
 
 

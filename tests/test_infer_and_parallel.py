@@ -42,7 +42,7 @@ def test_mc_predict_mean_std():
 
 
 def test_halo_exchange_reconstructs_neighbors():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = make_mesh(n_data=1, n_spatial=8)
@@ -53,7 +53,7 @@ def test_halo_exchange_reconstructs_neighbors():
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(None, "spatial", None),),
-                   out_specs=P(None, "spatial", None), check_rep=False)
+                   out_specs=P(None, "spatial", None), check_vma=False)
     out = np.asarray(fn(x))  # (1, 8*(4+4), 1): each shard padded by 2+2
     # shard 1 (devices hold 4 rows each): padded block = rows [2..9]
     blk1 = out[0, 8:16, 0]
