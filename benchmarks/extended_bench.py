@@ -125,28 +125,11 @@ def main(only=None):
         print(f"# config4 train step b{B} {dt*1e3:.1f}ms -> "
               f"{results['train_step_vols_per_sec']} vol/s", file=sys.stderr)
 
-        # TPU-native batch (b2 is the reference recipe but the per-program
-        # cost dominates it — docs/ROUND2_NOTES.md): same step at b16.
-        B2 = 16
-        lab2 = rng.integers(0, 2, size=(B2, 20, 160, 160))
-        batch2 = {
-            "image": jnp.asarray(
-                rng.normal(size=(B2, 20, 160, 160, 4)), jnp.float32),
-            "detection": jnp.asarray(np.eye(2, dtype=np.float32)[lab2]),
-        }
-        st2 = {"s": init_train_state(prob, opt)}
-
-        def train_iter2():
-            new_state, m = step(st2["s"], batch2, k)
-            st2["s"] = new_state
-            return m["loss"]
-
-        _sync(train_iter2())
-        dt2 = _best_of(train_iter2, iters=3)
-        results["train_step_b16_vols_per_sec"] = round(B2 / dt2, 3)
-        print(f"# config4 train step b{B2} {dt2*1e3:.1f}ms -> "
-              f"{results['train_step_b16_vols_per_sec']} vol/s",
-              file=sys.stderr)
+        # NOTE: larger train batches were probed (b8/b16) but the fp32
+        # probabilistic train graph exceeds what this chip's compile helper
+        # accepts (b16 is an explicit HBM OOM: f/4 tensors pay up to 8x
+        # physical lane padding — docs/ROUND2_NOTES.md); b2 is both the
+        # reference recipe (train_model.py:83) and the recorded figure.
 
     if only in (None, "config4"):
         guarded("config4", config4)

@@ -13,14 +13,47 @@
 //
 // C ABI, loaded via ctypes (no pybind11 in the image).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
 
 constexpr double kInf = 1e20;
+
+// Worker count: PMR_NATIVE_THREADS env > hardware_concurrency (production
+// hosts have many cores; this dev box has 1 — the loop degrades to inline).
+int num_threads() {
+  if (const char* e = std::getenv("PMR_NATIVE_THREADS")) {
+    int n = std::atoi(e);
+    if (n > 0) return n;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? (int)hc : 1;
+}
+
+// Split [0, n) over workers; fn(begin, end) must be independent per range.
+template <typename Fn>
+void parallel_for(long n, Fn fn) {
+  int nt = std::min<long>(num_threads(), n);
+  if (nt <= 1) {
+    fn(0L, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  long chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    long b = t * chunk, e = std::min(n, b + chunk);
+    if (b >= e) break;
+    ts.emplace_back([=] { fn(b, e); });
+  }
+  for (auto& th : ts) th.join();
+}
 
 // 1D squared distance transform of sampled function f, in-place into d.
 // v/z are scratch of size n and n+1.
@@ -60,31 +93,40 @@ void edt_sq_3d(const uint8_t* mask, double* out, int D, int H, int W) {
   const long n = (long)D * H * W;
   for (long i = 0; i < n; ++i) out[i] = mask[i] ? kInf : 0.0;
 
-  int mx = D > H ? (D > W ? D : W) : (H > W ? H : W);
-  std::vector<double> f(mx), d(mx), z(mx + 1);
-  std::vector<int> v(mx);
+  const int mx = D > H ? (D > W ? D : W) : (H > W ? H : W);
 
-  // transform along W
-  for (int zq = 0; zq < D; ++zq)
-    for (int y = 0; y < H; ++y) {
-      double* row = out + ((long)zq * H + y) * W;
-      std::memcpy(f.data(), row, W * sizeof(double));
-      dt1d(f.data(), row, v.data(), z.data(), W);
-    }
-  // along H
-  for (int zz = 0; zz < D; ++zz)
-    for (int x = 0; x < W; ++x) {
-      for (int y = 0; y < H; ++y) f[y] = out[((long)zz * H + y) * W + x];
-      dt1d(f.data(), d.data(), v.data(), z.data(), H);
-      for (int y = 0; y < H; ++y) out[((long)zz * H + y) * W + x] = d[y];
-    }
-  // along D
-  for (int y = 0; y < H; ++y)
-    for (int x = 0; x < W; ++x) {
-      for (int zz = 0; zz < D; ++zz) f[zz] = out[((long)zz * H + y) * W + x];
-      dt1d(f.data(), d.data(), v.data(), z.data(), D);
-      for (int zz = 0; zz < D; ++zz) out[((long)zz * H + y) * W + x] = d[zz];
-    }
+  // Each pass is embarrassingly parallel over its outer index; every worker
+  // carries its own lower-envelope scratch.
+  parallel_for(D, [&](long zb, long ze) {
+    std::vector<double> f(mx), z(mx + 1);
+    std::vector<int> v(mx);
+    for (long zq = zb; zq < ze; ++zq)               // transform along W
+      for (int y = 0; y < H; ++y) {
+        double* row = out + (zq * H + y) * W;
+        std::memcpy(f.data(), row, W * sizeof(double));
+        dt1d(f.data(), row, v.data(), z.data(), W);
+      }
+  });
+  parallel_for(D, [&](long zb, long ze) {
+    std::vector<double> f(mx), d(mx), z(mx + 1);
+    std::vector<int> v(mx);
+    for (long zz = zb; zz < ze; ++zz)               // along H
+      for (int x = 0; x < W; ++x) {
+        for (int y = 0; y < H; ++y) f[y] = out[(zz * H + y) * W + x];
+        dt1d(f.data(), d.data(), v.data(), z.data(), H);
+        for (int y = 0; y < H; ++y) out[(zz * H + y) * W + x] = d[y];
+      }
+  });
+  parallel_for(H, [&](long yb, long ye) {
+    std::vector<double> f(mx), d(mx), z(mx + 1);
+    std::vector<int> v(mx);
+    for (long y = yb; y < ye; ++y)                  // along D
+      for (int x = 0; x < W; ++x) {
+        for (int zz = 0; zz < D; ++zz) f[zz] = out[((long)zz * H + y) * W + x];
+        dt1d(f.data(), d.data(), v.data(), z.data(), D);
+        for (int zz = 0; zz < D; ++zz) out[((long)zz * H + y) * W + x] = d[zz];
+      }
+  });
 }
 
 // Signed distance map for one foreground channel (reference losses.py:82-92):
@@ -101,8 +143,15 @@ void signed_distance_3d(const uint8_t* pos, float* out, int D, int H, int W) {
   std::vector<uint8_t> neg(n);
   for (long i = 0; i < n; ++i) neg[i] = pos[i] ? 0 : 1;
   std::vector<double> dpos(n), dneg(n);
-  edt_sq_3d(pos, dpos.data(), D, H, W);  // distance of fg voxels to nearest bg
-  edt_sq_3d(neg.data(), dneg.data(), D, H, W);
+  // the two EDTs are independent: overlap them when cores allow
+  if (num_threads() >= 2) {
+    std::thread t1([&] { edt_sq_3d(pos, dpos.data(), D, H, W); });
+    edt_sq_3d(neg.data(), dneg.data(), D, H, W);
+    t1.join();
+  } else {
+    edt_sq_3d(pos, dpos.data(), D, H, W);
+    edt_sq_3d(neg.data(), dneg.data(), D, H, W);
+  }
   for (long i = 0; i < n; ++i) {
     if (neg[i])
       out[i] = (float)std::sqrt(dneg[i]);

@@ -30,7 +30,8 @@ def _build() -> Optional[str]:
         return _OUT
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _OUT],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             _SRC, "-o", _OUT],
             check=True, capture_output=True, timeout=120)
         return _OUT
     except Exception:
