@@ -134,6 +134,41 @@ def main(only=None):
     if only in (None, "config4"):
         guarded("config4", config4)
 
+    # ---- config 4b: bf16 mixed-precision training step ---------------------
+    # TPU-native recipe (bf16 compute, fp32 params/optimizer): +45% over the
+    # fp32 reference step. Runs as its own worker — compiling a second large
+    # train program in one process wedges the device tunnel; b8+ bf16 train
+    # faults the device kernel outright (docs/ROUND2_NOTES.md).
+    def config4b():
+        prob16 = M1(
+            input_spatial_dims=(20, 160, 160), input_channels=4, num_classes=2,
+            filters=(16, 32, 64, 128, 256),
+            strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+            kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+            se_reduction=(8, 8, 8, 8, 8), att_sub_samp=((1, 1, 1),) * 4,
+            probabilistic=True, prob_latent_dims=(3, 2, 1, 0),
+            dropout_mode="monte-carlo", dropout_rate=0.5, summary=False,
+            dtype=jnp.bfloat16)
+        opt16 = make_optimizer("adam", schedule)
+        step16 = make_train_step(prob16, make_loss("distribution_focal"),
+                                 opt16, elbo_beta=10.0,
+                                 augment_params=aug, train_obj="lesion")
+        st = {"s": init_train_state(prob16, opt16)}
+
+        def it():
+            st["s"], m = step16(st["s"], batch, k)
+            return m["loss"]
+
+        _sync(it())
+        dt = _best_of(it, iters=3)
+        results["train_step_bf16_vols_per_sec"] = round(B / dt, 3)
+        print(f"# config4b bf16 train step b{B} {dt*1e3:.1f}ms -> "
+              f"{results['train_step_bf16_vols_per_sec']} vol/s",
+              file=sys.stderr)
+
+    if only == "config4b":
+        guarded("config4b", config4b)
+
     # ---- config 5: sliding-window whole-gland full resolution --------------
     det_model = M1(
         input_spatial_dims=(20, 160, 160), input_channels=3, num_classes=2,
@@ -176,7 +211,7 @@ def run_isolated():
 
     here = os.path.abspath(__file__)
     merged = {}
-    for cfg in ("config3", "config4", "config5"):
+    for cfg in ("config3", "config4", "config4b", "config5"):
         for attempt in range(2):
             time.sleep(20)  # let the previous process release the device
             proc = subprocess.run(

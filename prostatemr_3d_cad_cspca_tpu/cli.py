@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     prsr.add_argument("--CACHE_TDS_PATH", type=str, default=None)
     prsr.add_argument("--GPU_DEVICE_IDs", type=str, default="all",
                       help="device subset (TPU chips); 'all' uses every chip")
+    prsr.add_argument("--PRECISION", type=str, default="fp32",
+                      choices=["fp32", "bf16"],
+                      help="compute precision (params/optimizer stay fp32; "
+                           "bf16 is the TPU-native recipe, ~1.5x the fp32 "
+                           "train step)")
     # U-Net hyperparameters (reference train_model.py:67-80)
     prsr.add_argument("--UNET_DENSE_SKIP", type=int, default=0)
     prsr.add_argument("--UNET_DEEP_SUPERVISION", type=int, default=0)
@@ -118,6 +123,8 @@ def main(argv=None):
     from .parallel.mesh import initialize_distributed
 
     initialize_distributed()
+
+    import jax.numpy as jnp
 
     from .data.generators import batch_iterator, custom_data_generator
     from .data.manifest import read_manifest
@@ -208,6 +215,7 @@ def main(argv=None):
             summary=bool(args.SHOW_SUMMARY),
             kernel_regularizer=args.UNET_KERNEL_REGULARIZER_L2,
             bias_regularizer=args.UNET_BIAS_REGULARIZER_L2,
+            dtype=(jnp.bfloat16 if args.PRECISION == "bf16" else None),
         )
 
         if str(args.USE_PRETRAINED_WEIGHTS) != "False":
