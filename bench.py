@@ -58,7 +58,7 @@ def main():
 
     detail.update(_run_worker([os.path.join(HERE, "benchmarks", "bench_core.py")]))
     ext = os.path.join(HERE, "benchmarks", "extended_bench.py")
-    for cfg in ("config3", "config4", "config4b", "config5"):
+    for cfg in ("config3", "config4", "config4b", "config5", "config5b"):
         time.sleep(10)
         detail.update(_run_worker([ext, "--only", cfg], timeout=1500))
 

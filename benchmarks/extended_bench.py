@@ -196,6 +196,46 @@ def main(only=None):
     if only in (None, "config5"):
         guarded("config5", config5)
 
+    # ---- config 5b: CASCADED two-stage + sliding window + MC uncertainty ---
+    # The full BASELINE.json config-5 wording: "cascaded two-stage M1 with
+    # sliding-window whole-gland inference and batched uncertainty sampling
+    # at full resolution". Two-stage detect per tile batch, MC-batched over
+    # posterior draws (MC dropout), Gaussian-blended tiles.
+    def config5b():
+        casc = M1(
+            input_spatial_dims=(20, 160, 160), input_channels=3, num_classes=2,
+            filters=(16, 32, 64, 128, 256),
+            strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+            kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+            se_reduction=(8, 8, 8, 8, 8), att_sub_samp=((1, 1, 1),) * 4,
+            cascaded="noisy-or", dropout_mode="monte-carlo", dropout_rate=0.5,
+            summary=False)
+        detect = casc.get_detect_model()
+        n_mc = 2
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def tile_mc(p, x, k):
+            # MC-batched posterior draws of the cascaded joint detection
+            keys = jax.random.split(k, n_mc)
+            samples = jax.vmap(
+                lambda kk: detect(p, (x, x), rng=kk)[1])(keys)
+            return jnp.mean(samples, axis=0)
+
+        def run_sw():
+            return sliding_window_predict(
+                lambda t: tile_mc(casc.params, t, key), whole,
+                window=(20, 160, 160), overlap=0.25, batch_size=4)
+
+        _sync(run_sw())
+        dt = _best_of(run_sw, n=2, iters=2)
+        results["cascaded_sw_mc_sec_per_case"] = round(dt, 3)
+        print(f"# config5b cascaded+MC({n_mc}) whole-gland {dt:.2f}s/case",
+              file=sys.stderr)
+
+    if only == "config5b":
+        guarded("config5b", config5b)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results_extended.json")
     with open(out_path, "w") as f:
@@ -211,7 +251,7 @@ def run_isolated():
 
     here = os.path.abspath(__file__)
     merged = {}
-    for cfg in ("config3", "config4", "config4b", "config5"):
+    for cfg in ("config3", "config4", "config4b", "config5", "config5b"):
         for attempt in range(2):
             time.sleep(20)  # let the previous process release the device
             proc = subprocess.run(
