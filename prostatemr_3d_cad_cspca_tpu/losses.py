@@ -44,8 +44,13 @@ class Focal:
         self.alpha = tuple(alpha)
         self.gamma = float(gamma)
 
-    def fl(self, y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
-        """Sum over voxels+classes, mean over batch (losses.py:32-39)."""
+    def per_sample_sums(self, y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
+        """Per-sample focal sums, shape (B,) — the pre-batch-mean partial.
+
+        Used directly by the spatially-sharded train step
+        (parallel/halo.py::make_spatial_train_step): each shard sums its
+        core voxels, shards psum, THEN the batch mean is taken — the same
+        reduction set as the unsharded loss."""
         w = jnp.asarray(self.alpha, jnp.float32)
         y_pred = y_pred.astype(jnp.float32)
         y_true = y_true.astype(jnp.float32)
@@ -54,7 +59,11 @@ class Focal:
         ce = y_true * (-jnp.log(y_pred))
         gamma_weight = y_true * jnp.power(1.0 - y_pred, self.gamma)
         fl = w * gamma_weight * ce
-        return jnp.mean(jnp.sum(fl, axis=tuple(range(1, fl.ndim))))
+        return jnp.sum(fl, axis=tuple(range(1, fl.ndim)))
+
+    def fl(self, y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
+        """Sum over voxels+classes, mean over batch (losses.py:32-39)."""
+        return jnp.mean(self.per_sample_sums(y_true, y_pred))
 
     def __call__(self, y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
         return _group_reduce(self.fl, y_true, y_pred)

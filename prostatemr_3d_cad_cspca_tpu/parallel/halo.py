@@ -135,6 +135,110 @@ def _stride_product(strides: Sequence[Sequence[int]], spatial_dim: int) -> int:
     return p
 
 
+def _halo_geometry(model, n_shards: int, extent: int, spatial_axis: int,
+                   halo: int | None):
+    """(halo, slab) for a sharded M1: halo covers the receptive margin and is
+    a multiple of the cumulative stride (phase alignment); slab divides."""
+    cfg = model.config
+    sd = spatial_axis - 1
+    stride_prod = _stride_product(cfg["strides"], sd)
+    assert extent % n_shards == 0, (extent, n_shards)
+    slab = extent // n_shards
+    assert slab % stride_prod == 0, (
+        f"local slab {slab} must be a multiple of the cumulative stride "
+        f"{stride_prod} along axis {spatial_axis}")
+    if halo is None:
+        margin = receptive_margin(cfg["kernel_sizes"], cfg["strides"], sd)
+        halo = ((margin + stride_prod - 1) // stride_prod) * stride_prod
+    assert halo % stride_prod == 0, (halo, stride_prod)
+    return halo, slab
+
+
+def make_spatial_train_step(
+    model,
+    seg_loss,
+    optimizer,
+    mesh: Mesh,
+    spatial_axis: int = 2,
+    mesh_axis: str = "spatial",
+    halo: int | None = None,
+):
+    """EXPERIMENTAL: spatially-sharded TRAINING step — full-resolution
+    volumes too large for one device's HBM train as ONE SPMD program, the
+    long-context-training analogue (SURVEY.md §5.7). The reference could
+    only train on fixed crops (preprocess.py:42-49); here the volume/labels
+    are slab-sharded along ``spatial_axis``, each device computes its
+    slab+halo forward (exact: input halos + cross-shard IN/SE statistics),
+    sums the loss over its CORE voxels, and loss + grads are psum'd.
+
+    Contracts (tests/test_spatial_train.py):
+      * the LOSS equals the unsharded step to float tolerance for the full
+        M1, every step;
+      * GRADIENTS are float-exact through every cross-device coupling used
+        here, pinned on a conv+IN+SE stack. For the full deep M1, per-leaf
+        fp32 gradient comparison against the unsharded program is
+        numerically ill-posed (conv-bias-into-IN directions have
+        analytically zero gradient computed by catastrophic cancellation —
+        the unsharded autodiff disagrees with its own finite difference
+        there), so bitwise gradient parity at depth is not asserted.
+
+    seg_loss must expose ``per_sample_sums(y_true, y_pred) -> (B,)``
+    (losses.Focal does); deterministic models (dropout off) keep the
+    exactness contract — active dropout would draw independent masks for a
+    voxel's core and halo computations.
+
+    Returns ``step(params, opt_state, image, label) ->
+    (params, opt_state, loss)``, jitted over the mesh.
+    """
+    from jax import shard_map
+
+    from ..ops.normalization import ShardedStats
+
+    n = mesh.shape[mesh_axis]
+    spec = [None] * 5
+    spec[spatial_axis] = mesh_axis
+    part = P(*spec)
+    geom = {}
+
+    def local_loss(params, img, lab):
+        padded = halo_exchange(img, geom["halo"], mesh_axis, spatial_axis)
+        net = model.net.clone(sharded=ShardedStats(
+            axis_name=mesh_axis, spatial_axis=spatial_axis,
+            halo=geom["halo"], extent=padded.shape[spatial_axis]))
+        out = net.apply({"params": params}, padded, train=True)
+        sl = [slice(None)] * 5
+        sl[spatial_axis] = slice(geom["halo"],
+                                 padded.shape[spatial_axis] - geom["halo"])
+        y_core = out["y_softmax"][tuple(sl)]
+        partial = seg_loss.per_sample_sums(lab, y_core)     # (B,) local core
+        return jnp.mean(partial)                            # LOCAL partial
+
+    def local_grads(params, img, lab):
+        # differentiate the shard-LOCAL partial loss, THEN psum both value
+        # and grads: psum inside the differentiated function would let
+        # psum's transpose double-count the replicated cotangent.
+        loss, grads = jax.value_and_grad(local_loss)(params, img, lab)
+        loss = jax.lax.psum(loss, mesh_axis)                # full-volume loss
+        grads = jax.lax.psum(grads, mesh_axis)  # sum shard-local contributions
+        return loss, grads
+
+    def step(params, opt_state, image, label):
+        geom["halo"], _ = _halo_geometry(
+            model, n, image.shape[spatial_axis], spatial_axis, halo)
+        loss, grads = shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), part, part), out_specs=(P(), P()),
+            check_vma=False,
+        )(params, image, label)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
 def spatial_infer_m1(
     model,
     params,
@@ -163,21 +267,9 @@ def spatial_infer_m1(
     volumes on one device (network_blocks.py:38-44); this reproduces that
     reduction set across shards.
     """
-    cfg = model.config
-    sd = spatial_axis - 1  # spatial_axis indexes (B,D,H,W,C); strides index (D,H,W)
-    stride_prod = _stride_product(cfg["strides"], sd)
     n = mesh.shape[mesh_axis]
-    extent = volume.shape[spatial_axis]
-    assert extent % n == 0, (extent, n)
-    slab = extent // n
-    assert slab % stride_prod == 0, (
-        f"local slab {slab} must be a multiple of the cumulative stride "
-        f"{stride_prod} along axis {spatial_axis}")
-
-    if halo is None:
-        margin = receptive_margin(cfg["kernel_sizes"], cfg["strides"], sd)
-        halo = ((margin + stride_prod - 1) // stride_prod) * stride_prod
-    assert halo % stride_prod == 0, (halo, stride_prod)
+    halo, slab = _halo_geometry(
+        model, n, volume.shape[spatial_axis], spatial_axis, halo)
 
     from ..ops.normalization import ShardedStats
 
