@@ -1,12 +1,23 @@
-"""Headline benchmark orchestrator. Prints ONE JSON line:
+"""Headline benchmark orchestrator. Prints ONE JSON line (repeated
+incrementally — the LAST line printed is always the most complete):
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Covers the full BASELINE.json config list (VERDICT.md round-2 item 5):
+Covers the full BASELINE.json config list:
   1. plain attention U-Net inference (headline: volumes/sec/chip) + MFU
   2. dense-skip + deep-supervision inference (b4 per BASELINE wording)
   3. hierarchical probabilistic MC posterior sampling
-  4. full training step (focal+KL, fused on-device augmentation, CALR)
-  5. sliding-window whole-gland full-resolution inference
+  4. full training step (focal+KL, fused on-device augmentation, CALR) (+4b bf16)
+  5. sliding-window whole-gland full-resolution inference (+5b cascaded MC)
+
+Budget design (VERDICT r2 item 1 — round 2's run was killed by the driver
+before printing any JSON):
+  * every worker enables the persistent JAX compilation cache
+    (benchmarks/.jax_cache) so compiles pay once across invocations;
+  * the cumulative headline JSON is RE-PRINTED after every worker, so a
+    timeout at any moment still leaves a parseable record on stdout;
+  * workers run in priority order under a global deadline
+    (BENCH_BUDGET_S, default 960 s): whatever doesn't fit is skipped and
+    listed in detail["skipped"].
 
 Each config family runs in its OWN subprocess: the experimental device
 tunnel wedges when a new large program compiles while another config's
@@ -27,61 +38,103 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "960"))
 
 
-def _run_worker(argv, timeout=2400):
-    """Run a bench worker; return its last parseable JSON line (or {})."""
+def _remaining():
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _parse_last_json(text: str):
+    for line in text.strip().splitlines()[::-1]:
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def _run_worker(argv, timeout):
+    """Run a bench worker; return its last parseable JSON line (or {}).
+
+    Workers print their cumulative results JSON after each section, so even
+    a timed-out worker yields its completed sections (TimeoutExpired carries
+    the captured partial stdout).
+    """
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
-    for attempt in range(2):
-        try:
-            proc = subprocess.run(
-                [sys.executable, *argv], capture_output=True, text=True,
-                timeout=timeout, cwd=HERE, env=env)
-        except subprocess.TimeoutExpired:
-            print(f"# worker {argv} timed out", file=sys.stderr, flush=True)
-            continue
-        sys.stderr.write(proc.stderr[-3000:])
-        for line in proc.stdout.strip().splitlines()[::-1]:
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-        print(f"# worker {argv} produced no JSON (rc={proc.returncode})",
+    env["BENCH_DEADLINE"] = str(T_START + BUDGET_S)
+    try:
+        proc = subprocess.run(
+            [sys.executable, *argv], capture_output=True, text=True,
+            timeout=timeout, cwd=HERE, env=env)
+        sys.stderr.write(proc.stderr[-3000:] if proc.stderr else "")
+        out = proc.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        print(f"# worker {argv[-1] if argv else ''} timed out after {timeout}s",
               file=sys.stderr, flush=True)
-        time.sleep(15)  # let the device settle before a retry
-    return {}
+        out = e.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+    got = _parse_last_json(out)
+    if got is None:
+        print(f"# worker {argv} produced no JSON", file=sys.stderr, flush=True)
+        return {}
+    return got
 
 
-def main():
-    detail = {}
-
-    detail.update(_run_worker([os.path.join(HERE, "benchmarks", "bench_core.py")]))
-    ext = os.path.join(HERE, "benchmarks", "extended_bench.py")
-    for cfg in ("config3", "config4", "config4b", "config5", "config5b"):
-        time.sleep(10)
-        detail.update(_run_worker([ext, "--only", cfg], timeout=1500))
-
+def _emit(detail, skipped):
+    """(Re-)print the headline JSON line from the current detail dict."""
     headline = max(
         (v for k, v in detail.items()
          if k.startswith("cfg1_") and isinstance(v, (int, float))
          and ("_b" in k)), default=0.0)
-
     vs_baseline = None
     baseline_path = os.path.join(HERE, "benchmarks", "baseline_tf_cpu.json")
-    if os.path.exists(baseline_path):
+    if os.path.exists(baseline_path) and headline:
         with open(baseline_path) as f:
             base = json.load(f)
         if base.get("volumes_per_sec"):
             vs_baseline = headline / float(base["volumes_per_sec"])
-
-    print(json.dumps({
+    out = {
         "metric": "bpMRI volumes/sec/chip (M1 20x160x160x3 inference)",
         "value": round(headline, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": detail,
-    }))
+        "detail": dict(detail, skipped=skipped,
+                       elapsed_s=round(time.time() - T_START, 1)),
+    }
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    detail = {}
+    skipped = []
+    ext = os.path.join(HERE, "benchmarks", "extended_bench.py")
+    core = os.path.join(HERE, "benchmarks", "bench_core.py")
+
+    # (worker argv, min seconds of budget to even attempt it, settle delay)
+    plan = [
+        ([core], 120, 0),
+        ([ext, "--only", "config4"], 150, 10),
+        ([ext, "--only", "config3"], 90, 10),
+        ([ext, "--only", "config5"], 90, 10),
+        ([ext, "--only", "config5b"], 90, 10),
+        ([ext, "--only", "config4b"], 120, 10),
+    ]
+    for argv, min_need, settle in plan:
+        rem = _remaining()
+        name = argv[-1] if argv[-1].startswith("config") else "core"
+        if rem < min_need + settle:
+            skipped.append(name)
+            continue
+        if settle:
+            time.sleep(settle)  # let the previous process release the device
+        detail.update(_run_worker(argv, timeout=max(_remaining(), 30)))
+        _emit(detail, skipped)
+
+    _emit(detail, skipped)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,26 @@ import numpy as np
 MEASURED_MATMUL_CEILING = 980e12   # bf16 FLOP/s, 4096^3 loop-resident
 MEASURED_HBM_STREAM = 711e9        # bytes/s, flat r+w stream
 
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", "0")) or None
+
+
+def _time_left():
+    return float("inf") if DEADLINE is None else DEADLINE - time.time()
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache (VERDICT r2 item 1): the 100 s+ M1
+    compiles pay once across bench invocations. Harmless no-op if the
+    backend doesn't support executable serialization."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover - config names vary by version
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
 
 def _measure(fn, args, iters=10, warmup=2):
     import jax
@@ -39,6 +59,7 @@ def _measure(fn, args, iters=10, warmup=2):
 
 
 def main():
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -70,13 +91,29 @@ def main():
     results["cfg1_model_gflops_per_volume"] = round(flops_per_vol / 1e9, 1)
 
     best = (0.0, None)
+
+    def _update_mfu():
+        results["cfg1_mfu_vs_measured_ceiling"] = round(
+            best[0] * flops_per_vol / MEASURED_MATMUL_CEILING, 4)
+        results["cfg1_hbm_roofline_note"] = (
+            "measured stream ceiling 711 GB/s; see docs/ROUND2_NOTES.md")
+        results["best_config"] = best[1]
+
     # ---- config 1: plain attention U-Net ----------------------------------
-    # batch sweep caps at 120: b124+ is HBM RESOURCE_EXHAUSTED on this chip
+    # bf16 sweep FIRST (the headline), fp32_b8 LAST and deadline-gated: its
+    # 500 s compile ate the round-2 bench budget (VERDICT r2 item 1).
+    # Batch sweep caps at 120: b124+ is HBM RESOURCE_EXHAUSTED on this chip
     # and the per-program cost dominates below b96 (docs/ROUND2_NOTES.md).
-    for tag, dtype, batch in (("fp32_b8", None, 8),
-                              ("bf16_b64", jnp.bfloat16, 64),
+    for tag, dtype, batch in (("bf16_b64", jnp.bfloat16, 64),
                               ("bf16_b96", jnp.bfloat16, 96),
-                              ("bf16_b120", jnp.bfloat16, 120)):
+                              ("bf16_b120", jnp.bfloat16, 120),
+                              ("fp32_b8", None, 8)):
+        if tag == "fp32_b8":
+            _update_mfu()
+            print(json.dumps(results), flush=True)  # partial record
+            if _time_left() < 240:
+                print("# skipping fp32_b8 (deadline)", file=sys.stderr, flush=True)
+                break
         net = (fp32 if dtype is None else build(dtype)).net
 
         @jax.jit
@@ -96,34 +133,30 @@ def main():
         if vps > best[0]:
             best = (vps, f"cfg1_{tag}")
 
-    # MFU/roofline at the best config
-    vps = best[0]
-    results["cfg1_mfu_vs_measured_ceiling"] = round(
-        vps * flops_per_vol / MEASURED_MATMUL_CEILING, 4)
-    # ideal IO: every conv/norm activation r+w once, approximated by 2x the
-    # res0-dominated activation footprint (~33 MB/vol bf16)
-    results["cfg1_hbm_roofline_note"] = (
-        "measured stream ceiling 711 GB/s; see docs/ROUND2_NOTES.md")
-    results["best_config"] = best[1]
+    _update_mfu()
+    print(json.dumps(results), flush=True)
 
     # ---- config 2: dense-skip + deep supervision ---------------------------
-    m2 = build(jnp.bfloat16, dense=True, ds=True)
-    net2 = m2.net
-    params2 = m2.init(0)
+    if _time_left() > 120:
+        m2 = build(jnp.bfloat16, dense=True, ds=True)
+        net2 = m2.net
+        params2 = m2.init(0)
 
-    @jax.jit
-    def detect2(p, v):
-        return net2.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
+        @jax.jit
+        def detect2(p, v):
+            return net2.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
 
-    for tag, batch in (("b4", 4), ("b32", 32)):
-        x = jnp.asarray(np.random.default_rng(0).normal(
-            size=(batch, 20, 160, 160, 3)), jnp.bfloat16)
-        dt = _measure(detect2, (params2, x), iters=10 if batch > 4 else 20)
-        print(f"# cfg2 bf16_{tag}: {dt*1e3:.1f} ms/iter -> {batch/dt:.1f} vol/s",
-              file=sys.stderr, flush=True)
-        results[f"cfg2_dense_ds_bf16_{tag}"] = round(batch / dt, 3)
+        for tag, batch in (("b4", 4), ("b32", 32)):
+            x = jnp.asarray(np.random.default_rng(0).normal(
+                size=(batch, 20, 160, 160, 3)), jnp.bfloat16)
+            dt = _measure(detect2, (params2, x), iters=10 if batch > 4 else 20)
+            print(f"# cfg2 bf16_{tag}: {dt*1e3:.1f} ms/iter -> {batch/dt:.1f} vol/s",
+                  file=sys.stderr, flush=True)
+            results[f"cfg2_dense_ds_bf16_{tag}"] = round(batch / dt, 3)
+    else:
+        print("# skipping cfg2 (deadline)", file=sys.stderr, flush=True)
 
-    print(json.dumps(results))
+    print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":

@@ -27,12 +27,23 @@ def build_m1_tf(
     strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
     kernels=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
     se_reduction=(8, 8, 8, 8, 8),
+    default_names=False,
 ):
     import tensorflow as tf
     from tensorflow.keras import layers as L
 
+    if default_names:
+        # Reference-as-shipped naming: modelio.py never renames layers, so
+        # the published checkpoints carry Keras auto-names ('conv3d_7', ...).
+        # Used by the build-order H5 import round-trip test.
+        def nm(v):
+            return None
+    else:
+        def nm(v):
+            return v
+
     def instance_norm(name=None):
-        return L.GroupNormalization(groups=-1, epsilon=1e-3, name=name)
+        return L.GroupNormalization(groups=-1, epsilon=1e-3, name=nm(name))
 
     def lrelu(x):
         return L.LeakyReLU(negative_slope=0.1)(x)
@@ -40,43 +51,43 @@ def build_m1_tf(
     # Every weighted layer carries its flax param path as its name, so the
     # weight importer (utils.tf_import) can map by name rather than relying
     # on Keras' topological layer ordering.
-    def se_block(x, f, k, s, r, nm):
+    def se_block(x, f, k, s, r, nm_):
         residual = x
-        h = L.Conv3D(f // 4, k, strides=s, padding="same", name=f"{nm}.conv1")(x)
+        h = L.Conv3D(f // 4, k, strides=s, padding="same", name=nm(f"{nm_}.conv1"))(x)
         h = instance_norm(f"{nm}.norm1")(h)
         h = lrelu(h)
-        h = L.Conv3D(f // 4, (3, 3, 3), padding="same", name=f"{nm}.conv2")(h)
+        h = L.Conv3D(f // 4, (3, 3, 3), padding="same", name=nm(f"{nm_}.conv2"))(h)
         h = instance_norm(f"{nm}.norm2")(h)
         h = lrelu(h)
-        h = L.Conv3D(f, (1, 1, 1), padding="same", name=f"{nm}.conv3")(h)
+        h = L.Conv3D(f, (1, 1, 1), padding="same", name=nm(f"{nm_}.conv3"))(h)
         x_ = instance_norm(f"{nm}.norm3")(h)
         if x.shape[-1] != f:
-            residual = L.Conv3D(f, k, strides=s, padding="same", name=f"{nm}.conv4")(residual)
+            residual = L.Conv3D(f, k, strides=s, padding="same", name=nm(f"{nm_}.conv4"))(residual)
             residual = instance_norm(f"{nm}.norm4")(residual)
         s_ = L.GlobalAveragePooling3D(keepdims=True)(x_)
-        s_ = L.Conv3D(f // r, (1, 1, 1), name=f"{nm}.se_conv6")(s_)
+        s_ = L.Conv3D(f // r, (1, 1, 1), name=nm(f"{nm_}.se_conv6"))(s_)
         s_ = lrelu(s_)
-        s_ = L.Conv3D(f, (1, 1, 1), name=f"{nm}.se_conv7")(s_)
+        s_ = L.Conv3D(f, (1, 1, 1), name=nm(f"{nm_}.se_conv7"))(s_)
         s_ = tf.keras.activations.sigmoid(s_)
         out = x_ * s_ * residual  # multiplicative combine (network_blocks.py:77)
         return lrelu(out)
 
-    def att_gate(x, g, f, nm):
-        theta = L.Conv3D(f, (1, 1, 1), padding="same", name=f"{nm}.theta")(x)
-        phi = L.Conv3D(f, (1, 1, 1), padding="same", name=f"{nm}.phi")(g)
+    def att_gate(x, g, f, nm_):
+        theta = L.Conv3D(f, (1, 1, 1), padding="same", name=nm(f"{nm_}.theta"))(x)
+        phi = L.Conv3D(f, (1, 1, 1), padding="same", name=nm(f"{nm_}.phi"))(g)
         up = tuple(int(theta.shape[i + 1]) // int(phi.shape[i + 1]) for i in range(3))
         phi = L.UpSampling3D(size=up)(phi)
         a = lrelu(theta + phi)
-        psi = L.Conv3D(1, (1, 1, 1), padding="same", name=f"{nm}.psi")(a)
+        psi = L.Conv3D(1, (1, 1, 1), padding="same", name=nm(f"{nm_}.psi"))(a)
         sig = tf.keras.activations.sigmoid(psi)
         up2 = tuple(int(x.shape[i + 1]) // int(sig.shape[i + 1]) for i in range(3))
         sig = L.UpSampling3D(size=up2)(sig)
         y = sig * x
-        w = L.Conv3D(f, (1, 1, 1), padding="same", name=f"{nm}.out")(y)
+        w = L.Conv3D(f, (1, 1, 1), padding="same", name=nm(f"{nm_}.out"))(y)
         return instance_norm(f"{nm}.norm_out")(w)
 
     inp = L.Input(shape=input_shape)
-    x = L.Conv3D(filters[0], kernels[0], strides=strides[0], padding="same", name="conve0")(inp)
+    x = L.Conv3D(filters[0], kernels[0], strides=strides[0], padding="same", name=nm("conve0"))(inp)
     x = instance_norm("norme0")(x)
     x = lrelu(x)
     c1 = se_block(x, filters[1], kernels[1], strides[1], se_reduction[1], "serse1")
@@ -89,15 +100,15 @@ def build_m1_tf(
     a2 = att_gate(c2, cm, filters[2], "att2")
     a3 = att_gate(c3, cm, filters[3], "att3")
 
-    d3 = L.Conv3DTranspose(filters[3], kernels[4], strides=strides[4], padding="same", name="convtd3")(cm)
+    d3 = L.Conv3DTranspose(filters[3], kernels[4], strides=strides[4], padding="same", name=nm("convtd3"))(cm)
     u3 = se_block(L.Concatenate()([d3, a3]), filters[3], kernels[3], (1, 1, 1), se_reduction[3], "sersd3")
-    d2 = L.Conv3DTranspose(filters[2], kernels[3], strides=strides[3], padding="same", name="convtd2")(u3)
+    d2 = L.Conv3DTranspose(filters[2], kernels[3], strides=strides[3], padding="same", name=nm("convtd2"))(u3)
     u2 = se_block(L.Concatenate()([d2, a2]), filters[2], kernels[2], (1, 1, 1), se_reduction[2], "sersd2")
-    d1 = L.Conv3DTranspose(filters[1], kernels[2], strides=strides[2], padding="same", name="convtd1")(u2)
+    d1 = L.Conv3DTranspose(filters[1], kernels[2], strides=strides[2], padding="same", name=nm("convtd1"))(u2)
     u1 = se_block(L.Concatenate()([d1, a1]), filters[1], kernels[1], (1, 1, 1), se_reduction[1], "sersd1")
-    d0 = L.Conv3DTranspose(filters[0], kernels[1], strides=strides[1], padding="same", name="convtd0")(u1)
+    d0 = L.Conv3DTranspose(filters[0], kernels[1], strides=strides[1], padding="same", name=nm("convtd0"))(u1)
     u0 = se_block(L.Concatenate()([d0, a0]), filters[0], kernels[0], (1, 1, 1), se_reduction[0], "sersd0")
-    logits = L.Conv3D(num_classes, (1, 1, 1), padding="same", name="logits")(u0)
+    logits = L.Conv3D(num_classes, (1, 1, 1), padding="same", name=nm("logits"))(u0)
     out = L.Softmax()(logits)
     return tf.keras.Model(inp, out)
 

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     prsr.add_argument("--VALIDATE_MIN_EPOCH", type=int, default=5)
     prsr.add_argument("--SHOW_SUMMARY", type=int, default=0)
     prsr.add_argument("--RESUME_TRAIN", type=int, default=0)
+    prsr.add_argument("--ORBAX_CHECKPOINTS", type=int, default=1,
+                      help="async orbax full-state (params+optimizer) "
+                           "checkpoints under <fold>/orbax, auto-resumed; "
+                           "0 = npz WeightsSaver only")
     prsr.add_argument("--CACHE_TDS_PATH", type=str, default=None)
     prsr.add_argument("--GPU_DEVICE_IDs", type=str, default="all",
                       help="device subset (TPU chips); 'all' uses every chip")
@@ -253,7 +257,23 @@ def main(argv=None):
         else:
             validate_fn = AnatomySegmentationValidation(detect_fn, valid_samples)
 
-        fit(
+        # Observability + durable full-state checkpoints (SURVEY.md §5.3-5.5):
+        # per-epoch JSONL metrics under --METRICS_DIR; async orbax checkpoints
+        # (params + optimizer state) with one-call auto-resume.
+        from .utils.profiling import MetricsLogger
+
+        metrics_dir = os.path.join(args.METRICS_DIR, args.NAME, f"F{f + 1}")
+        metrics_logger = MetricsLogger(
+            os.path.join(metrics_dir, "metrics.jsonl"), echo=False)
+        checkpoint_manager = None
+        if args.ORBAX_CHECKPOINTS:
+            from .train.checkpoint import CheckpointManager
+
+            checkpoint_manager = CheckpointManager(
+                os.path.join(fold_dir, "orbax"), max_to_keep=3,
+                save_interval_steps=args.STORE_WEIGHTS_PER_N_EPOCHS)
+
+        history = fit(
             model, batches,
             epochs=args.NUM_EPOCHS,
             steps_per_epoch=steps_per_epoch,
@@ -273,7 +293,16 @@ def main(argv=None):
             augment_params=_parse_augm(args.AUGM_PARAMS),
             train_obj=args.TRAIN_OBJ,
             schedule=schedule,
+            metrics_logger=metrics_logger,
+            checkpoint_manager=checkpoint_manager,
         )
+        # Persist the fit history (Keras History parity; previously discarded).
+        import json as _json
+
+        with open(os.path.join(metrics_dir, "history.json"), "w") as fh:
+            _json.dump(history, fh, default=float)
+        if checkpoint_manager is not None:
+            checkpoint_manager.close()
 
 
 if __name__ == "__main__":

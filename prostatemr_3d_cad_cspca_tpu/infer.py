@@ -73,6 +73,88 @@ def _tile_starts(full: int, window: int, overlap: float) -> Sequence[int]:
     return starts
 
 
+def make_sliding_window_fn(
+    predict_fn: Callable[[jax.Array], jax.Array],
+    full_spatial: Sequence[int],
+    window: Sequence[int],
+    in_channels: int,
+    out_channels: int,
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    gaussian_weights: bool = True,
+) -> Callable[[jax.Array], jax.Array]:
+    """ONE-program sliding-window inference (VERDICT r2 item 6).
+
+    The eager ``sliding_window_predict`` below dispatches one device program
+    per tile batch plus one per blend op — ruinous on a tunnel with a ~9 ms
+    dispatch floor (docs/ROUND2_NOTES.md). This factory compiles the WHOLE
+    pipeline — tile gather (vmapped dynamic_slice), network forward, and
+    Gaussian-blended scatter accumulation — into a single jitted program:
+    ``lax.scan`` over tile chunks, ``fori_loop`` + ``dynamic_update_slice``
+    for the overlap blend.
+
+    predict_fn must be traceable: (B, *window, C_in) -> (B, *window, C_out).
+    Tile geometry is static (shapes fixed at trace time); the tile count is
+    padded to a multiple of ``batch_size`` with zero-weight duplicates.
+
+    Returns ``run(volume) -> (*full_spatial, out_channels)`` fp32, equal to
+    ``sliding_window_predict`` to float tolerance (tests/test_infer_and_parallel.py).
+    """
+    full_spatial = tuple(full_spatial)
+    window = tuple(window)
+    ndim = len(window)
+    assert ndim == len(full_spatial)
+    starts = [_tile_starts(full_spatial[i], window[i], overlap)
+              for i in range(ndim)]
+    coords = np.asarray(list(itertools.product(*starts)), np.int32)
+    n = len(coords)
+    n_pad = -(-n // batch_size) * batch_size
+    coords_p = np.concatenate(
+        [coords, np.repeat(coords[:1], n_pad - n, axis=0)], axis=0)
+    mask = np.zeros((n_pad,), np.float32)
+    mask[:n] = 1.0
+    chunk_coords = jnp.asarray(coords_p.reshape(-1, batch_size, ndim))
+    chunk_mask = jnp.asarray(mask.reshape(-1, batch_size))
+    weight_np = (_gaussian_importance(window) if gaussian_weights
+                 else np.ones(tuple(window), np.float32))
+
+    @jax.jit
+    def run(volume: jax.Array) -> jax.Array:
+        weight = jnp.asarray(weight_np)[..., None]
+
+        def gather(c):
+            return jax.lax.dynamic_slice(
+                volume, (*(c[i] for i in range(ndim)), 0),
+                (*window, in_channels))
+
+        def body(carry, xs):
+            acc, norm = carry
+            cs, ms = xs
+            tiles = jax.vmap(gather)(cs)
+            outs = predict_fn(tiles).astype(jnp.float32)
+
+            def upd(i, an):
+                a, nrm = an
+                idx = tuple(cs[i][j] for j in range(ndim)) + (0,)
+                w = weight * ms[i]
+                patch = jax.lax.dynamic_slice(a, idx, (*window, out_channels))
+                a = jax.lax.dynamic_update_slice(a, patch + outs[i] * w, idx)
+                np_ = jax.lax.dynamic_slice(nrm, idx[:-1] + (0,), (*window, 1))
+                nrm = jax.lax.dynamic_update_slice(nrm, np_ + w, idx[:-1] + (0,))
+                return a, nrm
+
+            acc, norm = jax.lax.fori_loop(0, cs.shape[0], upd, (acc, norm))
+            return (acc, norm), None
+
+        acc = jnp.zeros((*full_spatial, out_channels), jnp.float32)
+        norm = jnp.zeros((*full_spatial, 1), jnp.float32)
+        (acc, norm), _ = jax.lax.scan(body, (acc, norm),
+                                      (chunk_coords, chunk_mask))
+        return acc / jnp.maximum(norm, 1e-8)
+
+    return run
+
+
 def sliding_window_predict(
     predict_fn: Callable[[jax.Array], jax.Array],
     volume: jax.Array,
@@ -82,11 +164,15 @@ def sliding_window_predict(
     gaussian_weights: bool = True,
     out_channels: Optional[int] = None,
 ) -> jax.Array:
-    """Full-volume prediction by overlapping tiles.
+    """Full-volume prediction by overlapping tiles (EAGER, op-by-op).
 
-    predict_fn: (B, *window, C_in) -> (B, *window, C_out), typically a jitted
-    detect closure. volume: (*full_spatial, C_in). Tiles are batched to keep
-    the MXU busy; per-tile Gaussian weights blend overlaps.
+    predict_fn: (B, *window, C_in) -> (B, *window, C_out) — any Python
+    callable (need not be traceable: serve.py threads RNG/MC logic through
+    it). volume: (*full_spatial, C_in). Tiles are batched to keep the MXU
+    busy; per-tile Gaussian weights blend overlaps.
+
+    For traceable predict_fns prefer ``make_sliding_window_fn`` — the same
+    math as one compiled program (no per-op dispatch tax).
     """
     spatial = volume.shape[:-1]
     assert len(spatial) == len(window)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.convolution import ConvConfig
+from ..ops.convolution import ConvConfig, conv3d
 from ..ops.normalization import InstanceNorm, ShardedStats, global_spatial_mean
 from ..ops.resample import upsample_nearest
 
@@ -92,24 +92,24 @@ class SEResNetBottleNeck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        ck = self.conv_cfg.conv_kwargs()
+        cfg = self.conv_cfg
         residual = x
 
         def IN(name):
             return InstanceNorm(name=name, sharded=self.sharded)
 
-        h = nn.Conv(self.filters // 4, self.kernel_size, self.strides, **ck, name="conv1")(x)
+        h = conv3d(cfg, self.filters // 4, self.kernel_size, self.strides, name="conv1")(x)
         h = IN("norm1")(h)
         h = leaky_relu01(h)
-        h = nn.Conv(self.filters // 4, (3, 3, 3), (1, 1, 1), **ck, name="conv2")(h)
+        h = conv3d(cfg, self.filters // 4, (3, 3, 3), (1, 1, 1), name="conv2")(h)
         h = IN("norm2")(h)
         h = leaky_relu01(h)
-        h = nn.Conv(self.filters, (1, 1, 1), (1, 1, 1), **ck, name="conv3")(h)
+        h = conv3d(cfg, self.filters, (1, 1, 1), (1, 1, 1), name="conv3")(h)
         x_ = IN("norm3")(h)
 
         if x.shape[-1] != self.filters:
-            residual = nn.Conv(
-                self.filters, self.kernel_size, self.strides, **ck, name="conv4"
+            residual = conv3d(
+                cfg, self.filters, self.kernel_size, self.strides, name="conv4"
             )(residual)
             residual = IN("norm4")(residual)
 
@@ -152,24 +152,24 @@ class GridAttentionBlock3D(nn.Module):
     def __call__(
         self, conv_tensor: jax.Array, gating_tensor: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
-        ck = self.conv_cfg.conv_kwargs()
+        cfg = self.conv_cfg
         x, g = conv_tensor, gating_tensor
 
-        theta_x = nn.Conv(
-            self.inter_channels, self.sub_samp, self.sub_samp, **ck, name="theta"
+        theta_x = conv3d(
+            cfg, self.inter_channels, self.sub_samp, self.sub_samp, name="theta"
         )(x)
-        phi_g = nn.Conv(self.inter_channels, (1, 1, 1), (1, 1, 1), **ck, name="phi")(g)
+        phi_g = conv3d(cfg, self.inter_channels, (1, 1, 1), (1, 1, 1), name="phi")(g)
         up1 = tuple(theta_x.shape[i + 1] // phi_g.shape[i + 1] for i in range(3))
         phi_g = upsample_nearest(phi_g, up1)
 
         f = leaky_relu01(theta_x + phi_g)
-        psi_f = nn.Conv(1, (1, 1, 1), (1, 1, 1), **ck, name="psi")(f)
+        psi_f = conv3d(cfg, 1, (1, 1, 1), (1, 1, 1), name="psi")(f)
         sigm_psi_f = nn.sigmoid(psi_f)
         up2 = tuple(x.shape[i + 1] // sigm_psi_f.shape[i + 1] for i in range(3))
         sigm_psi_f = upsample_nearest(sigm_psi_f, up2)
 
         y = sigm_psi_f * x
-        w_y = nn.Conv(self.inter_channels, (1, 1, 1), (1, 1, 1), **ck, name="out")(y)
+        w_y = conv3d(cfg, self.inter_channels, (1, 1, 1), (1, 1, 1), name="out")(y)
         w_y = InstanceNorm(name="norm_out", sharded=self.sharded)(w_y)
         return w_y, sigm_psi_f
 
@@ -183,10 +183,9 @@ class StitchingProbDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, decoder_features: jax.Array) -> jax.Array:
-        ck = self.conv_cfg.conv_kwargs()
-        return nn.Conv(self.num_classes, (1, 1, 1), (1, 1, 1), **ck, name="logits")(
-            decoder_features
-        )
+        return conv3d(
+            self.conv_cfg, self.num_classes, (1, 1, 1), (1, 1, 1), name="logits"
+        )(decoder_features)
 
 
 class AxisAligned3DConvGaussian(nn.Module):

@@ -323,7 +323,13 @@ class M1:
 
         Returns ``fast(params, inputs) -> y_softmax[..., :num_classes]``.
         """
+        # Fall back whenever the packed trunk cannot reproduce detect()'s
+        # semantics — including always-on Monte-Carlo dropout (the CLI default,
+        # cli.py:72): the packed trunk has no dropout, so routing an MC model
+        # through it would silently return deterministic outputs.
         if self.cascaded or self.probabilistic or \
+                (self.config["dropout_mode"] == "monte-carlo"
+                 and self.config["dropout_rate"] > 0) or \
                 any(tuple(a) != (1, 1, 1) for a in self.config["att_sub_samp"]):
             detect = self.get_detect_model()
             return lambda params, inputs: detect(params, inputs)
@@ -343,7 +349,24 @@ class M1:
             dtype=self.net.conv_cfg.dtype,
         )
         nc = self.num_classes
-        return lambda params, inputs: fast(params["core"], inputs)[..., :nc]
+        # Pre-pack conv kernels once per parameter set (ADVICE r2): the pack
+        # scatters run in their own small jit per param set, and the packed
+        # kernels enter the jitted forward as plain device arrays. The
+        # returned callable is already jitted — do not re-jit it (that would
+        # move the packing back inside the trace).
+        prep_cache: Dict[int, Any] = {}
+        prep_jit = jax.jit(fast.prepare)
+        fast_jit = jax.jit(
+            lambda core, packed, x: fast(core, x, packed=packed)[..., :nc])
+
+        def run(params, inputs):
+            key = id(params)
+            if key not in prep_cache:
+                prep_cache.clear()
+                prep_cache[key] = prep_jit(params["core"])
+            return fast_jit(params["core"], prep_cache[key], inputs)
+
+        return run
 
     # ----------------------------------------------------------- train surface
     def compile(self, optimizer=None, loss=None, loss_weights=None, **kwargs):

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.convolution import ConvConfig
+from ..ops.convolution import ConvConfig, conv3d, conv3d_transpose
 from ..ops.distributions import DiagGaussian
 from ..ops.normalization import InstanceNorm, ShardedStats, revacuum
 from ..ops.resample import upsample_nearest
@@ -49,16 +49,11 @@ Tuple3 = Tuple[int, int, int]
 
 
 
-def _ConvT(features, kernel_size, strides, **kw):
-    """ConvTranspose in the TF Conv3DTranspose convention.
-
-    transpose_kernel=True stores the kernel as (spatial..., out, in) and
-    computes the exact gradient-of-conv operation tf.keras Conv3DTranspose
-    performs (verified numerically in tests/test_tf_parity.py) — making
-    reference-trained weights directly importable.
-    """
-    return nn.ConvTranspose(features, kernel_size, strides,
-                            transpose_kernel=True, **kw)
+# ConvTranspose in the TF Conv3DTranspose convention: transpose_kernel=True
+# stores the kernel as (spatial..., out, in) and computes the exact
+# gradient-of-conv operation tf.keras Conv3DTranspose performs (verified
+# numerically in tests/test_tf_parity.py) — making reference-trained weights
+# directly importable. Unit-depth kernels dispatch 2D-folded (ops.convolution).
 
 class M1Core(nn.Module):
     """Backbone network. See module docstring for reference citations."""
@@ -91,7 +86,9 @@ class M1Core(nn.Module):
         assert all(len(s) == 3 for s in self.strides) and len(self.strides) == 5
         assert all(len(k) == 3 for k in self.kernel_sizes) and len(self.kernel_sizes) == 5
 
-        ck = self.conv_cfg.conv_kwargs()
+        cfg = self.conv_cfg
+        _Conv = lambda feats, kern, strd: conv3d(cfg, feats, kern, strd)  # noqa: E731
+        _ConvT = lambda feats, kern, strd: conv3d_transpose(cfg, feats, kern, strd)  # noqa: E731
         f, s, k, r = self.filters, self.strides, self.kernel_sizes, self.se_reduction
 
         def drop(rate):
@@ -105,7 +102,7 @@ class M1Core(nn.Module):
                 reduction=red, conv_cfg=self.conv_cfg, sharded=self.sharded)
 
         # Stem (networks.py:472-474).
-        self.conve0 = nn.Conv(f[0], k[0], s[0], **ck)
+        self.conve0 = _Conv(f[0], k[0], s[0])
         self.norme0 = InstanceNorm(sharded=self.sharded)
 
         # Encoder (networks.py:476-487).
@@ -129,36 +126,36 @@ class M1Core(nn.Module):
             f[3], tuple(self.att_sub_samp[3]), self.conv_cfg, self.sharded)
 
         # Nested decoder stage 3 (networks.py:496-502).
-        self.convtd3 = _ConvT(f[3], k[4], s[4], **ck)
-        self.convtd3_up1 = _ConvT(f[2], k[3], s[3], **ck)
-        self.convtd3_up2 = _ConvT(f[1], k[2], s[2], **ck)
-        self.convtd3_up3 = _ConvT(f[0], k[1], s[1], **ck)
+        self.convtd3 = _ConvT(f[3], k[4], s[4])
+        self.convtd3_up1 = _ConvT(f[2], k[3], s[3])
+        self.convtd3_up2 = _ConvT(f[1], k[2], s[2])
+        self.convtd3_up3 = _ConvT(f[0], k[1], s[1])
         self.sersd3 = sers(f[3], k[3], (1, 1, 1), r[3])
         self.dropd3 = drop(self.dropout_rate)
 
         # Stage 2 (networks.py:505-510).
-        self.convtd2 = _ConvT(f[2], k[3], s[3], **ck)
-        self.convtd2_up1 = _ConvT(f[1], k[2], s[2], **ck)
-        self.convtd2_up2 = _ConvT(f[0], k[1], s[1], **ck)
+        self.convtd2 = _ConvT(f[2], k[3], s[3])
+        self.convtd2_up1 = _ConvT(f[1], k[2], s[2])
+        self.convtd2_up2 = _ConvT(f[0], k[1], s[1])
         self.sersd2 = sers(f[2], k[2], (1, 1, 1), r[2])
         self.dropd2 = drop(self.dropout_rate)
 
         # Stage 1 (networks.py:513-517).
-        self.convtd1 = _ConvT(f[1], k[2], s[2], **ck)
-        self.convtd1_up1 = _ConvT(f[0], k[1], s[1], **ck)
+        self.convtd1 = _ConvT(f[1], k[2], s[2])
+        self.convtd1_up1 = _ConvT(f[0], k[1], s[1])
         self.sersd1 = sers(f[1], k[1], (1, 1, 1), r[1])
         self.dropd1 = drop(self.dropout_rate)
 
         # Stage 0 (networks.py:520-523).
-        self.convtd0 = _ConvT(f[0], k[1], s[1], **ck)
+        self.convtd0 = _ConvT(f[0], k[1], s[1])
         self.sersd0 = sers(f[0], k[0], (1, 1, 1), r[0])
         self.dropd0 = drop(self.dropout_rate / 2)
 
         # Logits + deep supervision heads (networks.py:526-531).
-        self.logits = nn.Conv(self.num_classes, (1, 1, 1), (1, 1, 1), **ck)
-        self.dsy1_logits = nn.Conv(self.num_classes, (1, 1, 1), (1, 1, 1), **ck)
-        self.dsy2_logits = nn.Conv(self.num_classes, (1, 1, 1), (1, 1, 1), **ck)
-        self.dsy3_logits = nn.Conv(self.num_classes, (1, 1, 1), (1, 1, 1), **ck)
+        self.logits = _Conv(self.num_classes, (1, 1, 1), (1, 1, 1))
+        self.dsy1_logits = _Conv(self.num_classes, (1, 1, 1), (1, 1, 1))
+        self.dsy2_logits = _Conv(self.num_classes, (1, 1, 1), (1, 1, 1))
+        self.dsy3_logits = _Conv(self.num_classes, (1, 1, 1), (1, 1, 1))
 
         # Probabilistic ladder (networks.py:534-565). Level order: res 3,2,1,0.
         if self.probabilistic:
@@ -166,10 +163,10 @@ class M1Core(nn.Module):
             assert len(dims) == 4, "prob_latent_dims must have 4 entries (res 3,2,1,0)."
             fr, sr, kr, rr = f[::-1], s[::-1], k[::-1], r[::-1]
             self.mu_logsig = [
-                nn.Conv(2 * dims[i], (1, 1, 1), (1, 1, 1), **ck) if dims[i] != 0 else None
+                _Conv(2 * dims[i], (1, 1, 1), (1, 1, 1)) if dims[i] != 0 else None
                 for i in range(4)
             ]
-            self.dec_hi = [_ConvT(fr[i + 1], kr[i], sr[i], **ck) for i in range(4)]
+            self.dec_hi = [_ConvT(fr[i + 1], kr[i], sr[i]) for i in range(4)]
             self.sersp = [sers(fr[i + 1], kr[i + 1], (1, 1, 1), rr[i + 1]) for i in range(4)]
             self.dropp = [drop(self.dropout_rate) for _ in range(4)]
 

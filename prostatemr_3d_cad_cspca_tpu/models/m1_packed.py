@@ -120,6 +120,7 @@ class PackedM1:
         self.deep_supervision = deep_supervision
         self.dtype = dtype
         self.input_channels = input_channels
+        self._prepacked = None  # set per-call by __call__(packed=...)
 
         # per-level spatial dims (level 0..4); level l is AFTER stride l.
         dims: List[Tuple3] = []
@@ -232,6 +233,27 @@ class PackedM1:
             self._plan(f"{name}.conv4", kernel, strides, in_dims, ci, co, p_in)
 
     # ------------------------------------------------------------- applying
+    def prepare(self, params) -> Dict[str, jax.Array]:
+        """Pack every planned conv's weights ONCE, outside the jitted forward.
+
+        ``pack_weights`` is a chain of scatter (.at[].set) ops; with raw
+        params as traced jit arguments that chain re-executes on device on
+        every forward call (ADVICE r2). Run this eagerly (or in its own small
+        jit) per parameter set and pass the result as
+        ``__call__(params, x, packed=...)`` — the packed kernels then enter
+        the forward as plain device arrays.
+        """
+        packed = {}
+        for name, plan in self.plans.items():
+            node = params
+            for part in name.split(".")[:-1]:
+                node = node[part]
+            w = node[name.split(".")[-1]]["kernel"]
+            if self.dtype is not None:
+                w = w.astype(self.dtype)
+            packed[name] = plan.spec.pack_weights(w)
+        return packed
+
     def _conv(self, params, name, x, p_in_have, ci, normalize=True):
         """Apply planned conv ``name``; repacks input if needed. Returns
         (y_packed, p): p is the CANONICAL pack of the output tensor (repacks
@@ -244,11 +266,14 @@ class PackedM1:
         node = params
         for part in name.split(".")[:-1]:
             node = node[part]
-        w = node[pname]["kernel"]
         b = node[pname].get("bias")
-        if self.dtype is not None:
-            w = w.astype(self.dtype)
-        wp = plan.spec.pack_weights(w)
+        if self._prepacked is not None:
+            wp = self._prepacked[name]
+        else:
+            w = node[pname]["kernel"]
+            if self.dtype is not None:
+                w = w.astype(self.dtype)
+            wp = plan.spec.pack_weights(w)
         y = plan.spec(x, wp, b)
         p_out = plan.spec.p_out
         if normalize:
@@ -339,8 +364,14 @@ class PackedM1:
         return packed_instance_norm(wy, s, b, p_o, ci), p_o
 
     # ---------------------------------------------------------------- forward
-    def __call__(self, params: Dict[str, Any], inputs: jax.Array) -> jax.Array:
-        """Deterministic trunk forward -> y_softmax (B,D,H,W,nc[*4 if ds])."""
+    def __call__(self, params: Dict[str, Any], inputs: jax.Array,
+                 packed: Optional[Dict[str, jax.Array]] = None) -> jax.Array:
+        """Deterministic trunk forward -> y_softmax (B,D,H,W,nc[*4 if ds]).
+
+        ``packed``: optional pre-packed kernels from ``prepare(params)`` —
+        pass them as a jit argument so the pack scatters don't re-run per
+        call."""
+        self._prepacked = packed
         f = self.filters
         nc = self.num_classes
         if self.dtype is not None and inputs.dtype != self.dtype:

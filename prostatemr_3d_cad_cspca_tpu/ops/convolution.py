@@ -45,6 +45,10 @@ class ConvConfig:
     dtype: Any = None
     # Param storage dtype (keep fp32 even when computing in bf16).
     param_dtype: Any = jnp.float32
+    # Dispatch (1,kh,kw)-kernel 3D convs as 2D convs with depth folded into
+    # batch — measured 1.66x faster on the M1 stem (docs/ROUND2_NOTES.md,
+    # benchmarks/r2_probe_conv.py). Exact: same params, same math.
+    fold2d: bool = True
 
     def conv_kwargs(self):
         return dict(
@@ -59,6 +63,115 @@ class ConvConfig:
 
 def default_conv_config(**overrides) -> ConvConfig:
     return dataclasses.replace(ConvConfig(), **overrides)
+
+
+class Fold2DConv(nn.Module):
+    """3D conv with a unit-depth kernel, dispatched as a 2D conv.
+
+    XLA's TPU conv emitter tiles a Conv3D with a degenerate depth tap
+    noticeably worse than the equivalent Conv2D: the round-2 probe measured
+    8.5 ms vs 14.1 ms (1.66x) on the M1 stem's (1,3,3) conv at b64
+    (docs/ROUND2_NOTES.md, benchmarks/r2_probe_conv.py). Folding D into the
+    batch dim is mathematically identical — the depth tap is 1 and the depth
+    stride is 1, so no tap ever crosses a D boundary.
+
+    Drop-in for ``nn.Conv``: the parameter names ('kernel'/'bias'), shapes
+    (the full 3D ``(1,kh,kw,Cin,Cout)`` kernel) and initializer calls are
+    bit-identical to ``nn.Conv``, so checkpoints, TF imports
+    (utils/tf_import.py) and sharding specs are unaffected.
+    """
+
+    features: int
+    kernel_size: Any  # (1, kh, kw)
+    strides: Any = (1, 1, 1)  # (1, sh, sw)
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    bias_init: Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ks, st = tuple(self.kernel_size), tuple(self.strides)
+        assert ks[0] == 1 and st[0] == 1, (ks, st)
+        B, D, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", self.kernel_init, ks + (C, self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.reshape(B * D, H, W, C), kernel[0],
+            window_strides=st[1:], padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias
+        return y.reshape(B, D, *y.shape[1:])
+
+
+class Fold2DConvTranspose(nn.Module):
+    """3D transposed conv with a unit-depth kernel, dispatched in 2D.
+
+    Mirror of ``Fold2DConv`` for the decoder's (1,3,3)/(1,2,2) upsampling
+    convs. Matches ``nn.ConvTranspose(transpose_kernel=True)`` exactly: the
+    kernel is stored as ``(1,kh,kw,out,in)`` (TF Conv3DTranspose convention,
+    reference-weight importable) and the op is ``lax.conv_transpose`` with
+    ``transpose_kernel=True`` on the D-folded view.
+    """
+
+    features: int
+    kernel_size: Any  # (1, kh, kw)
+    strides: Any  # (1, sh, sw)
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    bias_init: Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ks, st = tuple(self.kernel_size), tuple(self.strides)
+        assert ks[0] == 1 and st[0] == 1, (ks, st)
+        B, D, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", self.kernel_init, ks + (self.features, C), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_transpose(
+            x.reshape(B * D, H, W, C), kernel[0], st[1:], self.padding,
+            transpose_kernel=True,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias
+        return y.reshape(B, D, *y.shape[1:])
+
+
+def conv3d(cfg: ConvConfig, features, kernel_size, strides=(1, 1, 1), name=None):
+    """Build a 3D conv, routing unit-depth kernels through the 2D-folded
+    dispatch when ``cfg.fold2d`` (see Fold2DConv)."""
+    ks, st = tuple(kernel_size), tuple(strides)
+    if cfg.fold2d and len(ks) == 3 and ks[0] == 1 and st[0] == 1:
+        return Fold2DConv(features=features, kernel_size=ks, strides=st,
+                          name=name, **cfg.conv_kwargs())
+    return nn.Conv(features, ks, st, name=name, **cfg.conv_kwargs())
+
+
+def conv3d_transpose(cfg: ConvConfig, features, kernel_size, strides, name=None):
+    """Build a 3D transposed conv in the TF Conv3DTranspose convention,
+    2D-folded when the depth kernel/stride are unit (see Fold2DConvTranspose)."""
+    ks, st = tuple(kernel_size), tuple(strides)
+    if cfg.fold2d and len(ks) == 3 and ks[0] == 1 and st[0] == 1:
+        return Fold2DConvTranspose(features=features, kernel_size=ks, strides=st,
+                                   name=name, **cfg.conv_kwargs())
+    return nn.ConvTranspose(features, ks, st, transpose_kernel=True,
+                            name=name, **cfg.conv_kwargs())
 
 
 def l2_penalty(params, kernel_l2: float, bias_l2: float) -> jax.Array:

@@ -194,6 +194,28 @@ def make_spatial_train_step(
 
     from ..ops.normalization import ShardedStats
 
+    # Constructive guards (ADVICE r2): the exactness contract requires
+    # deterministic models. Active dropout would draw independent masks for a
+    # voxel's core and halo computations (and net.apply below passes no
+    # 'dropout' rng, which would fail at trace with an opaque flax error);
+    # deep supervision emits 4*nc-channel y_softmax that per_sample_sums
+    # cannot reduce against an nc-length alpha.
+    cfg = model.config
+    if cfg.get("dropout_rate", 0) > 0:
+        raise ValueError(
+            "make_spatial_train_step requires a deterministic model: build "
+            "the M1 with dropout_rate=0 (got "
+            f"{cfg['dropout_rate']}, mode={cfg.get('dropout_mode')!r}).")
+    if cfg.get("deep_supervision"):
+        raise ValueError(
+            "make_spatial_train_step does not support deep_supervision=True: "
+            "the stacked 4*num_classes-channel y_softmax is incompatible with "
+            "seg_loss.per_sample_sums over core voxels.")
+    if cfg.get("probabilistic") or cfg.get("cascaded"):
+        raise ValueError(
+            "make_spatial_train_step supports stand-alone deterministic M1 "
+            "models only (probabilistic/cascaded not yet supported).")
+
     n = mesh.shape[mesh_axis]
     spec = [None] * 5
     spec[spatial_axis] = mesh_axis

@@ -71,6 +71,24 @@ def initialize_distributed(
     auto = env.get("PROSTATEMR_MULTIHOST", "") == "1"
     if coordinator_address is None and num_processes is None and not auto:
         return False  # single-process: nothing to do
+    # Fail with a configuration message, not an opaque runtime error deep in
+    # jax.distributed: unless platform auto-detection is requested
+    # (PROSTATEMR_MULTIHOST=1), coordinator/num_processes/process_id must be
+    # either all present or all absent.
+    if not auto:
+        given = {
+            "PROSTATEMR_COORDINATOR": coordinator_address,
+            "PROSTATEMR_NUM_PROCESSES": num_processes,
+            "PROSTATEMR_PROCESS_ID": process_id,
+        }
+        missing = [k for k, v in given.items() if v is None]
+        if missing:
+            raise ValueError(
+                "Partial multi-host configuration: "
+                f"{[k for k, v in given.items() if v is not None]} set but "
+                f"{missing} missing. Set all three env vars (or pass the "
+                "corresponding arguments), or set PROSTATEMR_MULTIHOST=1 for "
+                "TPU-pod auto-detection.")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

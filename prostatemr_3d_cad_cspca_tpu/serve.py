@@ -78,38 +78,87 @@ class InferenceSession:
         else:
             self._fn = jax.jit(lambda p, x: detect(p, x))
 
-    def __call__(self, batch: np.ndarray):
-        """(B, D, H, W, C) -> (probs, uncertainty | None), fp32 numpy."""
+    def __call__(self, batch):
+        """Batch -> (probs, uncertainty | None), fp32 numpy.
+
+        batch: (B, D, H, W, C) array; for cascaded models either an
+        ``(image_1, image_2)`` tuple of such arrays (reference
+        networks.py:111-112 — two same-geometry exams) or a single array,
+        which is fed to BOTH stages (prior == follow-up).
+        """
         import jax
 
+        if self.model.cascaded and not isinstance(batch, tuple):
+            batch = (batch, batch)
         if self._needs_rng:
             self._rng, sub = jax.random.split(self._rng)
             out = self._fn(self.model.params, batch, sub)
         else:
             out = self._fn(self.model.params, batch)
-        if isinstance(out, tuple) and self.mc_iter > 1:
+        if self.mc_iter > 1 and self._needs_rng:
             mean, std = out
+            if self.model.cascaded:  # final-stage detection + uncertainty
+                mean, std = mean[-1], std[-1]
             return np.asarray(mean, np.float32), np.asarray(std, np.float32)
         if isinstance(out, tuple):  # cascaded: final-stage detection
             out = out[-1]
         return np.asarray(out, np.float32), None
 
-    def predict_case(self, volume: np.ndarray, sw_overlap: float = 0.5):
-        """One whole volume (D, H, W, C); sliding-window when oversized."""
+    def predict_case(self, volume, sw_overlap: float = 0.5):
+        """One whole case; sliding-window when oversized.
+
+        volume: (D, H, W, C) array, or an ``(image_1, image_2)`` tuple for
+        cascaded models.
+        """
         window = tuple(self.model.input_spatial_dims)
-        if tuple(volume.shape[:-1]) == window:
-            probs, unc = self(volume[None])
+        vols = volume if isinstance(volume, tuple) else (volume,)
+        if self.model.cascaded and len(vols) == 1:
+            vols = (vols[0], vols[0])
+        if tuple(vols[0].shape[:-1]) == window:
+            batch = tuple(v[None] for v in vols) if self.model.cascaded \
+                else vols[0][None]
+            probs, unc = self(batch)
             return probs[0], (unc[0] if unc is not None else None)
+
+        # Deterministic stand-alone models: ONE compiled program per volume
+        # shape (tile gather + forward + Gaussian blend fused — see
+        # infer.make_sliding_window_fn); compiled closures cached per shape.
+        if not (self.model.cascaded or self._needs_rng):
+            from .infer import make_sliding_window_fn
+
+            cache = self.__dict__.setdefault("_sw_cache", {})
+            ckey = (tuple(vols[0].shape), float(sw_overlap))
+            if ckey not in cache:
+                nc = self.model.num_classes
+                net, params = self.model.net, self.model.params
+                cache[ckey] = make_sliding_window_fn(
+                    lambda t: net.apply({"params": params}, t, train=False)[
+                        "y_softmax"][..., :nc],
+                    full_spatial=vols[0].shape[:-1], window=window,
+                    in_channels=vols[0].shape[-1], out_channels=nc,
+                    overlap=sw_overlap)
+            return np.asarray(cache[ckey](vols[0]), np.float32), None
+
         from .infer import sliding_window_predict
 
-        probs = sliding_window_predict(
-            lambda t: self(np.asarray(t))[0], volume, window=window,
-            overlap=sw_overlap)
+        if self.model.cascaded:
+            # Tile both exams with identical coordinates: stack along the
+            # channel axis, split back per tile batch.
+            c = vols[0].shape[-1]
+            stacked = np.concatenate(vols, axis=-1)
+            probs = sliding_window_predict(
+                lambda t: self((np.asarray(t[..., :c]),
+                                np.asarray(t[..., c:])))[0],
+                stacked, window=window, overlap=sw_overlap)
+        else:
+            probs = sliding_window_predict(
+                lambda t: self(np.asarray(t))[0], vols[0], window=window,
+                overlap=sw_overlap)
         return np.asarray(probs, np.float32), None
 
 
-def _load_case(row: Dict[str, str], train_obj: str, channels: int,
-               whiten: bool) -> np.ndarray:
+def _load_one(row: Dict[str, str], train_obj: str, channels: int,
+              whiten: bool) -> np.ndarray:
     from .data.generators import load_sample
 
     sample = load_sample(row, train_obj=train_obj, mode="test",
@@ -121,6 +170,20 @@ def _load_case(row: Dict[str, str], train_obj: str, channels: int,
         vol = np.stack([whitening(vol[..., c])
                         for c in range(vol.shape[-1])], axis=-1)
     return vol
+
+
+def _load_case(row: Dict[str, str], train_obj: str, channels: int,
+               whiten: bool, cascaded: bool = False):
+    """Load one case. For cascaded models (two same-geometry exams,
+    reference networks.py:111-112) a second ``image_path_2`` manifest column
+    supplies image_2; absent that, the single exam feeds both stages."""
+    vol = _load_one(row, train_obj, channels, whiten)
+    if not cascaded:
+        return vol
+    if row.get("image_path_2"):
+        row2 = dict(row, image_path=row["image_path_2"])
+        return (vol, _load_one(row2, train_obj, channels, whiten))
+    return (vol, vol)
 
 
 def run(args) -> List[Dict]:
@@ -142,7 +205,12 @@ def run(args) -> List[Dict]:
         if not pending:
             return
         ids, vols = zip(*pending)
-        probs, unc = session(np.stack(vols))
+        if model.cascaded:
+            batch = (np.stack([v[0] for v in vols]),
+                     np.stack([v[1] for v in vols]))
+        else:
+            batch = np.stack(vols)
+        probs, unc = session(batch)
         for i, pid in enumerate(ids):
             results.append(_emit(pid, probs[i],
                                  unc[i] if unc is not None else None))
@@ -168,8 +236,9 @@ def run(args) -> List[Dict]:
     for row in rows:
         pid = row.get("p-id", os.path.basename(row["image_path"]))
         vol = _load_case(row, args.TRAIN_OBJ, model.input_channels,
-                         bool(args.WHITEN))
-        if tuple(vol.shape[:-1]) == window:
+                         bool(args.WHITEN), cascaded=bool(model.cascaded))
+        shape_src = vol[0] if isinstance(vol, tuple) else vol
+        if tuple(shape_src.shape[:-1]) == window:
             pending.append((pid, vol))
             if len(pending) >= args.BATCH_SIZE:
                 flush()

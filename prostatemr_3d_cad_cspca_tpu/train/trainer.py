@@ -256,12 +256,22 @@ def fit(
     log_fn: Callable[[str], None] = print,
     verbose: int = 2,
     schedule: Optional[Callable] = None,
+    metrics_logger=None,
+    checkpoint_manager=None,
 ) -> Dict[str, list]:
     """Epoch/step fit loop with WeightsSaver + metrics history.
 
     ``x`` yields batches: dicts with 'image' (B,D,H,W,C) and 'detection'
     (B,D,H,W,nc) [+ optional 'KL' target, unused — the KL is computed in-model
     as in the reference (losses.py:52-63)].
+
+    Observability / durability (SURVEY.md §5.3-5.5):
+      * ``metrics_logger`` (utils.profiling.MetricsLogger) — one JSONL record
+        per epoch + per validation pass;
+      * ``checkpoint_manager`` (train.checkpoint.CheckpointManager) — async
+        orbax full-state checkpoints, saved once per epoch (the manager's
+        ``save_interval_steps`` governs cadence), auto-resumed from the
+        latest step at fit() entry (overriding ``initial_epoch``).
     """
     if optimizer is None:
         optimizer = make_optimizer("adam", 1e-3)
@@ -275,6 +285,13 @@ def fit(
                               augment_params=augment_params, train_obj=train_obj)
     state = init_train_state(model, optimizer)
     rng = jax.random.PRNGKey(seed)
+
+    if checkpoint_manager is not None and checkpoint_manager.latest_step() is not None:
+        state, resumed_epoch = checkpoint_manager.restore(state)
+        initial_epoch = max(initial_epoch, int(resumed_epoch))
+        if verbose:
+            log_fn(f"Restored orbax checkpoint @ epoch {resumed_epoch} "
+                   f"({checkpoint_manager.directory})")
 
     history: Dict[str, list] = {"loss": [], "seg_loss": [], "epoch_time": []}
     it = iter(x)
@@ -300,6 +317,9 @@ def fit(
             log_fn(f"epoch {epoch + 1}/{epochs} - "
                    + " ".join(f"{k}: {v:.5f}" for k, v in epoch_metrics.items())
                    + f" - {dt:.2f}s")
+        if metrics_logger is not None:
+            metrics_logger.log("epoch", epoch=epoch + 1,
+                               epoch_time_s=round(dt, 3), **epoch_metrics)
 
         # Train-time validation (reference 'TBA' callbacks, train_model.py:240-245).
         if validate_fn is not None and ((epoch + 1) % validate_per_n_epochs == 0) \
@@ -309,6 +329,11 @@ def fit(
             if verbose:
                 log_fn("validation @ epoch %d - %s" % (
                     epoch + 1, " ".join(f"{k}: {v:.4f}" for k, v in val.items())))
+            if metrics_logger is not None:
+                metrics_logger.log("validation", epoch=epoch + 1, **val)
+
+        if checkpoint_manager is not None:
+            checkpoint_manager.save(epoch + 1, state, config=model.config)
 
         # WeightsSaver semantics (callbacks.py:44-75).
         if weights_dir and ((epoch + 1) % store_weights_per_n_epochs == 0) \
@@ -327,6 +352,8 @@ def fit(
 
     model.params = jax.device_get(state.params)
     model.opt_state = state.opt_state
+    if checkpoint_manager is not None:
+        checkpoint_manager.wait()  # async saves durable before returning
     return history
 
 

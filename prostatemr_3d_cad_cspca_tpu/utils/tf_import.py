@@ -20,6 +20,7 @@ outputs voxel-for-voxel.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -69,6 +70,60 @@ def flax_weight_order(dense_skip: bool = False) -> List[Tuple[str, str]]:
     return order
 
 
+def flax_prob_core_order(
+    prob_latent_dims: Sequence[int], deep_supervision: bool = False,
+    dense_skip: bool = False,
+) -> List[Tuple[str, str]]:
+    """(path, kind) list for a PROBABILISTIC M1Core: the deterministic trunk
+    plus the deep-supervision heads (used only when enabled) and the latent
+    ladder (mu_logsig_i / dec_hi_i / sersp_i per level, reference
+    networks.py:534-565; flax list-attribute naming)."""
+    order = list(flax_weight_order(dense_skip))
+    if deep_supervision:
+        order += [(f"dsy{i}_logits", "conv") for i in (1, 2, 3)]
+    for i, dim in enumerate(prob_latent_dims):
+        if dim != 0:
+            order += [(f"mu_logsig_{i}", "conv")]
+        order += [(f"dec_hi_{i}", "convT")]
+        order += [
+            (f"sersp_{i}/conv1", "conv"), (f"sersp_{i}/norm1", "norm"),
+            (f"sersp_{i}/conv2", "conv"), (f"sersp_{i}/norm2", "norm"),
+            (f"sersp_{i}/conv3", "conv"), (f"sersp_{i}/norm3", "norm"),
+            (f"sersp_{i}/conv4", "conv"), (f"sersp_{i}/norm4", "norm"),
+            (f"sersp_{i}/se_conv6", "conv"), (f"sersp_{i}/se_conv7", "conv"),
+        ]
+    return order
+
+
+def import_keras_m1_prob_weights(
+    keras_layers, flax_params: Dict, prob_latent_dims: Sequence[int],
+    deep_supervision: bool = False, dense_skip: bool = False,
+) -> Dict:
+    """Name-based import for the probabilistic M1Net: Keras layers named
+    'prior.<path>' / 'posterior.<path>' / 'final_decoder.logits' (the twin
+    in benchmarks/tf_prob_twin.py) -> params under 'prior'/'posterior'/
+    'final_decoder'. Shape-checked per leaf; unmatched layers raise."""
+    import copy
+
+    params = copy.deepcopy({k: v for k, v in _to_mutable(flax_params).items()})
+    by_name = {l.name: l for l in keras_layers if l.weights}
+    for root, ds in (("prior", deep_supervision), ("posterior", False)):
+        for path, kind in flax_prob_core_order(
+                prob_latent_dims, deep_supervision=ds, dense_skip=dense_skip):
+            lname = f"{root}." + path.replace("/", ".")
+            layer = by_name.pop(lname, None)
+            assert layer is not None, f"keras twin lacks layer {lname!r}"
+            _assign(params, root, path, kind,
+                    [np.asarray(w) for w in layer.get_weights()], src=lname)
+    layer = by_name.pop("final_decoder.logits", None)
+    assert layer is not None, "keras twin lacks final_decoder.logits"
+    _assign(params, "final_decoder", "logits", "conv",
+            [np.asarray(w) for w in layer.get_weights()],
+            src="final_decoder.logits")
+    assert not by_name, f"unmapped keras layers: {sorted(by_name)}"
+    return params
+
+
 def import_keras_m1_weights(
     keras_layers, flax_params: Dict, root: str = "core",
     dense_skip: bool = False,
@@ -116,3 +171,135 @@ def _to_mutable(tree):
     if isinstance(tree, dict):
         return {k: _to_mutable(v) for k, v in tree.items()}
     return tree
+
+
+# --------------------------------------------------------------------------
+# Build-order import: load the reference's H5 checkpoints AS SHIPPED
+# (Keras default layer names — modelio.py:98-117 never renames layers).
+# --------------------------------------------------------------------------
+
+def _kind_of_layer_name(name: str):
+    """Classify a Keras layer by its (default) name.
+
+    TF2.5 reference layer classes and their auto-names:
+      Conv3D -> 'conv3d[_N]'; Conv3DTranspose -> 'conv3d_transpose[_N]';
+      tfa InstanceNormalization / GroupNormalization ->
+      '*normalization[_N]'. Weightless layers (activations, upsampling,
+      pooling, inputs) return None.
+    """
+    n = name.lower()
+    if "transpose" in n:
+        return "convT"
+    if "normalization" in n:
+        return "norm"
+    if "conv" in n:
+        return "conv"
+    return None
+
+
+def _creation_index(name: str) -> int:
+    """Keras auto-names carry a per-class creation counter: the first
+    instance is bare ('conv3d'), later ones suffixed ('conv3d_7'). Sorting
+    by this counter recovers CREATION order even when the layer list (or the
+    H5 'layer_names' attr) is stored topologically."""
+    m = re.search(r"_(\d+)$", name)
+    return int(m.group(1)) if m else -1
+
+
+def _assign(params: Dict, root: str, path: str, kind: str,
+            ws: Sequence[np.ndarray], src: str):
+    node = params[root]
+    parts = path.split("/")
+    for p in parts[:-1]:
+        node = node[p]
+    dst = node[parts[-1]]
+    if kind in ("conv", "convT"):
+        assert tuple(dst["kernel"].shape) == tuple(ws[0].shape), (
+            f"{src} -> {path}: kernel shape {ws[0].shape} != "
+            f"{tuple(dst['kernel'].shape)}")
+        dst["kernel"] = np.asarray(ws[0])
+        if len(ws) > 1:
+            assert tuple(dst["bias"].shape) == tuple(ws[1].shape), (src, path)
+            dst["bias"] = np.asarray(ws[1])
+    else:  # norm: gamma, beta
+        assert tuple(dst["scale"].shape) == tuple(ws[0].shape), (src, path)
+        dst["scale"] = np.asarray(ws[0])
+        dst["bias"] = np.asarray(ws[1])
+
+
+def import_keras_m1_weights_by_order(
+    named_weights: Sequence[Tuple[str, Sequence[np.ndarray]]],
+    flax_params: Dict, root: str = "core", dense_skip: bool = False,
+) -> Dict:
+    """Import weights matched by per-class CREATION order — no renamed
+    layers required, so the reference's published checkpoints load as
+    shipped (VERDICT r2 item 4).
+
+    ``named_weights``: [(keras_layer_name, [weight arrays])] for every
+    weighted layer (any order). Each class bucket (Conv3D / Conv3DTranspose
+    / normalization) is sorted by the Keras auto-name counter and zipped
+    against ``flax_weight_order``'s same-kind subsequence — the reference
+    builds its graph strictly in call order (networks.py:472-526), so the
+    k-th created Conv3D IS the k-th conv in the flax order. Every
+    assignment is shape-checked; a mismatch raises with both names.
+    """
+    import copy
+
+    params = copy.deepcopy({k: v for k, v in _to_mutable(flax_params).items()})
+    order = flax_weight_order(dense_skip)
+    want: Dict[str, List[str]] = {"conv": [], "convT": [], "norm": []}
+    for path, kind in order:
+        want[kind].append(path)
+    have: Dict[str, List[Tuple[int, str, Sequence[np.ndarray]]]] = {
+        "conv": [], "convT": [], "norm": []}
+    for name, ws in named_weights:
+        kind = _kind_of_layer_name(name)
+        if kind is None:
+            raise ValueError(f"cannot classify weighted keras layer {name!r}")
+        have[kind].append((_creation_index(name), name, list(ws)))
+    for kind in have:
+        have[kind].sort(key=lambda t: t[0])
+        if len(have[kind]) != len(want[kind]):
+            raise ValueError(
+                f"{kind}: checkpoint has {len(have[kind])} layers, "
+                f"architecture expects {len(want[kind])} "
+                f"({[n for _, n, _ in have[kind]]} vs {want[kind]})")
+    for kind in ("conv", "convT", "norm"):
+        for path, (_, name, ws) in zip(want[kind], have[kind]):
+            _assign(params, root, path, kind, ws, src=name)
+    return params
+
+
+def read_legacy_h5_weights(path: str) -> List[Tuple[str, List[np.ndarray]]]:
+    """Read a TF2.x topological ``save_weights`` H5 (the format the
+    reference's modelio.py:90-96 writes): root/['model_weights'] attr
+    'layer_names', per-layer group attr 'weight_names', datasets under
+    ``<layer>/<weight_name>``. Returns [(layer_name, [arrays])] for every
+    layer that carries weights, in stored order."""
+    import h5py
+
+    def _s(v):
+        return v.decode() if isinstance(v, bytes) else str(v)
+
+    out: List[Tuple[str, List[np.ndarray]]] = []
+    with h5py.File(path, "r") as f:
+        g = f["model_weights"] if "model_weights" in f else f
+        for ln in [_s(n) for n in g.attrs["layer_names"]]:
+            lg = g[ln]
+            wnames = [_s(n) for n in lg.attrs.get("weight_names", [])]
+            if not wnames:
+                continue
+            out.append((ln, [np.asarray(lg[w]) for w in wnames]))
+    return out
+
+
+def import_reference_h5(
+    h5_path: str, flax_params: Dict, root: str = "core",
+    dense_skip: bool = False,
+) -> Dict:
+    """One-call import of a reference-saved H5 checkpoint (Keras default
+    names, TF2.5 topological format) into the Flax param tree. No TF needed
+    at import time — the H5 is read directly (h5py)."""
+    return import_keras_m1_weights_by_order(
+        read_legacy_h5_weights(h5_path), flax_params, root=root,
+        dense_skip=dense_skip)

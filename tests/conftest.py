@@ -22,8 +22,26 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
 
+# Persistent XLA compile cache: the M1 programs take O(minutes) to compile on
+# one CPU core; caching makes every suite re-run (CI, judge spot-checks)
+# pay that once. Machine-local, gitignored.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not explicitly @pytest.mark.slow is 'fast':
+    ``pytest -m fast`` runs the quick shape/semantics tier (<2 min),
+    ``pytest -m slow`` the compile-heavy full-model tier (VERDICT r2 item 9).
+    """
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture

@@ -12,6 +12,10 @@ from prostatemr_3d_cad_cspca_tpu.train.trainer import (
     make_train_step,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
+
 SPATIAL = (4, 16, 16)
 KW = dict(
     input_spatial_dims=SPATIAL, input_channels=3, num_classes=2,

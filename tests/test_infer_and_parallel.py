@@ -17,6 +17,10 @@ from prostatemr_3d_cad_cspca_tpu.parallel.halo import (
 from prostatemr_3d_cad_cspca_tpu.parallel.mesh import make_mesh
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
+
 def test_sliding_window_identity_reconstructs():
     vol = jnp.asarray(
         np.random.default_rng(0).normal(size=(8, 32, 32, 3)), jnp.float32)

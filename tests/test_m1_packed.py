@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
+
 from prostatemr_3d_cad_cspca_tpu.models import M1
 from prostatemr_3d_cad_cspca_tpu.models.m1_packed import PackedM1
 

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
+
 from prostatemr_3d_cad_cspca_tpu.augment import AugmentParams, augment_sample
 from prostatemr_3d_cad_cspca_tpu.data.generators import (
     batch_iterator,

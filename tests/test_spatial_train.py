@@ -37,6 +37,10 @@ from prostatemr_3d_cad_cspca_tpu.parallel.halo import (
 from prostatemr_3d_cad_cspca_tpu.parallel.mesh import make_mesh
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
+
 def test_spatial_train_step_loss_matches_unsharded():
     model = M1(
         input_spatial_dims=(4, 320, 16), input_channels=3, num_classes=2,
@@ -127,3 +131,31 @@ def test_sharded_gradients_exact_conv_in_se_stack():
         np.testing.assert_allclose(
             np.asarray(sg[k]), np.asarray(rg[k]), rtol=2e-4, atol=1e-4,
             err_msg=k)
+
+
+def test_spatial_train_step_guards():
+    """Constructive errors at build time (ADVICE r2 / VERDICT r2 item 10):
+    active dropout and deep supervision break the exactness contract and
+    must fail with explicit messages, not a flax trace error."""
+    common = dict(
+        input_spatial_dims=(4, 64, 16), input_channels=3, num_classes=2,
+        filters=(4, 8, 12, 16, 24),
+        strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (1, 1, 1)),
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        se_reduction=(2, 2, 2, 2, 2), att_sub_samp=((1, 1, 1),) * 4,
+        summary=False, init_params=False)
+    mesh = make_mesh(n_data=1, n_spatial=4)
+    focal = Focal(alpha=(1.0, 1.0), gamma=2.0)
+    tx = optax.sgd(1e-5)
+
+    with pytest.raises(ValueError, match="dropout_rate=0"):
+        make_spatial_train_step(
+            M1(dropout_rate=0.5, **common), focal, tx, mesh)
+    with pytest.raises(ValueError, match="deep_supervision"):
+        make_spatial_train_step(
+            M1(dropout_rate=0.0, deep_supervision=True, **common),
+            focal, tx, mesh)
+    with pytest.raises(ValueError, match="stand-alone deterministic"):
+        make_spatial_train_step(
+            M1(dropout_rate=0.0, probabilistic=True,
+               prob_latent_dims=(2, 1, 1, 0), **common), focal, tx, mesh)

@@ -86,6 +86,7 @@ def test_leaky_relu_alpha_01_matches_tf():
     np.testing.assert_allclose(jax_out, tf_out, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_full_m1_forward_parity():
     """End-to-end oracle (BASELINE.md config 1): identical weights through the
     reconstructed Keras M1 and the Flax M1 must give voxel-identical softmax

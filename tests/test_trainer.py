@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from prostatemr_3d_cad_cspca_tpu.models import M1
