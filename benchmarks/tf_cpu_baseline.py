@@ -54,16 +54,16 @@ def build_m1_tf(
     def se_block(x, f, k, s, r, nm_):
         residual = x
         h = L.Conv3D(f // 4, k, strides=s, padding="same", name=nm(f"{nm_}.conv1"))(x)
-        h = instance_norm(f"{nm}.norm1")(h)
+        h = instance_norm(f"{nm_}.norm1")(h)
         h = lrelu(h)
         h = L.Conv3D(f // 4, (3, 3, 3), padding="same", name=nm(f"{nm_}.conv2"))(h)
-        h = instance_norm(f"{nm}.norm2")(h)
+        h = instance_norm(f"{nm_}.norm2")(h)
         h = lrelu(h)
         h = L.Conv3D(f, (1, 1, 1), padding="same", name=nm(f"{nm_}.conv3"))(h)
-        x_ = instance_norm(f"{nm}.norm3")(h)
+        x_ = instance_norm(f"{nm_}.norm3")(h)
         if x.shape[-1] != f:
             residual = L.Conv3D(f, k, strides=s, padding="same", name=nm(f"{nm_}.conv4"))(residual)
-            residual = instance_norm(f"{nm}.norm4")(residual)
+            residual = instance_norm(f"{nm_}.norm4")(residual)
         s_ = L.GlobalAveragePooling3D(keepdims=True)(x_)
         s_ = L.Conv3D(f // r, (1, 1, 1), name=nm(f"{nm_}.se_conv6"))(s_)
         s_ = lrelu(s_)
@@ -84,7 +84,7 @@ def build_m1_tf(
         sig = L.UpSampling3D(size=up2)(sig)
         y = sig * x
         w = L.Conv3D(f, (1, 1, 1), padding="same", name=nm(f"{nm_}.out"))(y)
-        return instance_norm(f"{nm}.norm_out")(w)
+        return instance_norm(f"{nm_}.norm_out")(w)
 
     inp = L.Input(shape=input_shape)
     x = L.Conv3D(filters[0], kernels[0], strides=strides[0], padding="same", name=nm("conve0"))(inp)

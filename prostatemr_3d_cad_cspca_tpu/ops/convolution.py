@@ -46,9 +46,12 @@ class ConvConfig:
     # Param storage dtype (keep fp32 even when computing in bf16).
     param_dtype: Any = jnp.float32
     # Dispatch (1,kh,kw)-kernel 3D convs as 2D convs with depth folded into
-    # batch — measured 1.66x faster on the M1 stem (docs/ROUND2_NOTES.md,
-    # benchmarks/r2_probe_conv.py). Exact: same params, same math.
-    fold2d: bool = True
+    # batch. True folds forward + transposed convs; "forward" folds forward
+    # convs only; False disables. Exact either way: same params, same math.
+    # The standalone stem conv measured 1.66x folded (docs/ROUND2_NOTES.md),
+    # but full-model composition behaves differently — see the round-3
+    # measurement log (docs/ROUND3_NOTES.md) for which default won.
+    fold2d: Any = True
 
     def conv_kwargs(self):
         return dict(
@@ -155,9 +158,10 @@ class Fold2DConvTranspose(nn.Module):
 
 def conv3d(cfg: ConvConfig, features, kernel_size, strides=(1, 1, 1), name=None):
     """Build a 3D conv, routing unit-depth kernels through the 2D-folded
-    dispatch when ``cfg.fold2d`` (see Fold2DConv)."""
+    dispatch when ``cfg.fold2d`` is True or "forward" (see Fold2DConv)."""
     ks, st = tuple(kernel_size), tuple(strides)
-    if cfg.fold2d and len(ks) == 3 and ks[0] == 1 and st[0] == 1:
+    if cfg.fold2d in (True, "forward") and len(ks) == 3 \
+            and ks[0] == 1 and st[0] == 1:
         return Fold2DConv(features=features, kernel_size=ks, strides=st,
                           name=name, **cfg.conv_kwargs())
     return nn.Conv(features, ks, st, name=name, **cfg.conv_kwargs())
@@ -165,9 +169,10 @@ def conv3d(cfg: ConvConfig, features, kernel_size, strides=(1, 1, 1), name=None)
 
 def conv3d_transpose(cfg: ConvConfig, features, kernel_size, strides, name=None):
     """Build a 3D transposed conv in the TF Conv3DTranspose convention,
-    2D-folded when the depth kernel/stride are unit (see Fold2DConvTranspose)."""
+    2D-folded when the depth kernel/stride are unit and ``cfg.fold2d`` is
+    True (see Fold2DConvTranspose; "forward" keeps transposed convs 3D)."""
     ks, st = tuple(kernel_size), tuple(strides)
-    if cfg.fold2d and len(ks) == 3 and ks[0] == 1 and st[0] == 1:
+    if cfg.fold2d is True and len(ks) == 3 and ks[0] == 1 and st[0] == 1:
         return Fold2DConvTranspose(features=features, kernel_size=ks, strides=st,
                                    name=name, **cfg.conv_kwargs())
     return nn.ConvTranspose(features, ks, st, transpose_kernel=True,

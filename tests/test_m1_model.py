@@ -10,9 +10,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # compile-heavy full-model tier
-
 from prostatemr_3d_cad_cspca_tpu.models import M1, M1Net
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
 
 # Miniature geometry: 4x16x16 volume, 3 channels, 2 classes.
 SPATIAL = (4, 16, 16)

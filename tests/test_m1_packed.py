@@ -10,10 +10,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # compile-heavy full-model tier
-
 from prostatemr_3d_cad_cspca_tpu.models import M1
 from prostatemr_3d_cad_cspca_tpu.models.m1_packed import PackedM1
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
 
 SPATIAL = (4, 32, 32)
 FILTERS = (8, 16, 32, 64, 96)

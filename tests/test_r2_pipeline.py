@@ -10,8 +10,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # compile-heavy full-model tier
-
 from prostatemr_3d_cad_cspca_tpu.augment import AugmentParams, augment_sample
 from prostatemr_3d_cad_cspca_tpu.data.generators import (
     batch_iterator,
@@ -19,6 +17,8 @@ from prostatemr_3d_cad_cspca_tpu.data.generators import (
     load_sample,
 )
 from prostatemr_3d_cad_cspca_tpu.ops.edt import signed_distance_map
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
 
 
 @pytest.fixture

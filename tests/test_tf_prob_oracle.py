@@ -64,9 +64,10 @@ def test_probabilistic_five_pass_oracle():
     B, C = 2, 3
     image = _rand((B, *SPATIAL, C), 1)
     label = (np.abs(_rand((B, *SPATIAL, 1), 2)) > 0.8).astype(np.float32)
-    lv = _level_dims(SPATIAL, STRIDES)
-    # z for ladder level i lives at the spatial grid of level 4-i
-    z_spatial = [lv[3], lv[2], lv[1], lv[0]]
+    lv = _level_dims(SPATIAL, STRIDES)  # lv[l-1] = spatial after stride l-1
+    # ladder step i predicts its Gaussian on the level-(4-i) feature grid:
+    # i=0 on convm (level 4 = lv[4]), i=1 on the level-3 decoder features...
+    z_spatial = [lv[4], lv[3], lv[2], lv[1]]
     z_q = [None if DIMS[i] == 0 else _rand((B, *z_spatial[i], DIMS[i]), 10 + i)
            for i in range(4)]
     z_p = [None if DIMS[i] == 0 else _rand((B, *z_spatial[i], DIMS[i]), 20 + i)

@@ -5,8 +5,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-
-pytestmark = pytest.mark.slow  # compile-heavy full-model tier
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from prostatemr_3d_cad_cspca_tpu.models import M1
@@ -17,6 +15,8 @@ from prostatemr_3d_cad_cspca_tpu.train.trainer import (
     make_optimizer,
     make_train_step,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
 
 SPATIAL = (4, 16, 16)
 KW = dict(
