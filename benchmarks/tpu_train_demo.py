@@ -67,7 +67,7 @@ def main():
     from prostatemr_3d_cad_cspca_tpu.models.m1 import M1
     from prostatemr_3d_cad_cspca_tpu.train.checkpoint import CheckpointManager
     from prostatemr_3d_cad_cspca_tpu.train.trainer import (
-        build_schedule, make_loss, make_optimizer)
+        build_schedule, fit as trainer_fit, make_loss, make_optimizer)
     from prostatemr_3d_cad_cspca_tpu.train.validation import PCaDetectionValidation
     from prostatemr_3d_cad_cspca_tpu.utils.profiling import MetricsLogger
 
@@ -136,7 +136,7 @@ def main():
     mgr = CheckpointManager(orbax_dir, save_interval_steps=4)
     kw = mk_fit_kwargs(model, mgr)
     kw["epochs"] = epochs_total // 2
-    hist1 = model.fit(batches(), **kw)
+    hist1 = trainer_fit(model, batches(), **kw)
     mgr.close()
     record["phases"]["train_half"] = {
         "wall_s": round(time.time() - t0, 1), "history": hist1}
@@ -147,7 +147,7 @@ def main():
     t0 = time.time()
     model2 = mk_model()
     mgr2 = CheckpointManager(orbax_dir, save_interval_steps=4)
-    hist2 = model2.fit(batches(), **mk_fit_kwargs(model2, mgr2))
+    hist2 = trainer_fit(model2, batches(), **mk_fit_kwargs(model2, mgr2))
     mgr2.close()
     record["phases"]["train_resumed"] = {
         "wall_s": round(time.time() - t0, 1), "history": hist2}

@@ -48,10 +48,13 @@ class ConvConfig:
     # Dispatch (1,kh,kw)-kernel 3D convs as 2D convs with depth folded into
     # batch. True folds forward + transposed convs; "forward" folds forward
     # convs only; False disables. Exact either way: same params, same math.
-    # The standalone stem conv measured 1.66x folded (docs/ROUND2_NOTES.md),
-    # but full-model composition behaves differently — see the round-3
-    # measurement log (docs/ROUND3_NOTES.md) for which default won.
-    fold2d: Any = True
+    # DEFAULT OFF: the standalone stem conv measured 1.66x folded
+    # (docs/ROUND2_NOTES.md) but the full-model composition LOST on the
+    # measured toolchain — back-to-back b64 in one process: folded 204.8 ms
+    # vs unfolded 196.9 ms, and folded b120 ~340 ms vs unfolded 213.8 ms
+    # (docs/ROUND3_NOTES.md post-mortem). Kept as a tested option for
+    # toolchains where the 2D emitter wins.
+    fold2d: Any = False
 
     def conv_kwargs(self):
         return dict(

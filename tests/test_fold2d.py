@@ -72,16 +72,23 @@ def test_fold2d_convtranspose_matches_nn(kern, stride):
 
 
 def test_factory_routing():
-    cfg = ConvConfig()
-    assert isinstance(conv3d(cfg, 4, (1, 3, 3), (1, 1, 1)), Fold2DConv)
-    assert isinstance(conv3d(cfg, 4, (3, 3, 3), (1, 1, 1)), nn.Conv)
+    on = ConvConfig(fold2d=True)
+    assert isinstance(conv3d(on, 4, (1, 3, 3), (1, 1, 1)), Fold2DConv)
+    assert isinstance(conv3d(on, 4, (3, 3, 3), (1, 1, 1)), nn.Conv)
     # depth stride > 1 cannot fold even with unit depth kernel
-    assert isinstance(conv3d(cfg, 4, (1, 3, 3), (2, 2, 2)), nn.Conv)
-    assert isinstance(conv3d_transpose(cfg, 4, (1, 3, 3), (1, 2, 2)),
+    assert isinstance(conv3d(on, 4, (1, 3, 3), (2, 2, 2)), nn.Conv)
+    assert isinstance(conv3d_transpose(on, 4, (1, 3, 3), (1, 2, 2)),
                       Fold2DConvTranspose)
-    assert isinstance(conv3d_transpose(cfg, 4, (3, 3, 3), (2, 2, 2)),
+    assert isinstance(conv3d_transpose(on, 4, (3, 3, 3), (2, 2, 2)),
                       nn.ConvTranspose)
-    off = ConvConfig(fold2d=False)
+    fwd = ConvConfig(fold2d="forward")
+    assert isinstance(conv3d(fwd, 4, (1, 3, 3), (1, 1, 1)), Fold2DConv)
+    assert isinstance(conv3d_transpose(fwd, 4, (1, 3, 3), (1, 2, 2)),
+                      nn.ConvTranspose)
+    # default OFF: full-model composition lost on the measured toolchain
+    # (docs/ROUND3_NOTES.md)
+    off = ConvConfig()
+    assert off.fold2d is False
     assert isinstance(conv3d(off, 4, (1, 3, 3), (1, 1, 1)), nn.Conv)
     assert isinstance(conv3d_transpose(off, 4, (1, 3, 3), (1, 2, 2)),
                       nn.ConvTranspose)
