@@ -120,9 +120,12 @@ def main():
         def detect(p, v):
             return net.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
 
-        x = jnp.asarray(np.random.default_rng(0).normal(
-            size=(batch, 20, 160, 160, 3)),
-            jnp.float32 if dtype is None else dtype)
+        # generate a small block on host, tile ON DEVICE: host-side
+        # rng.normal for b120 volumes costs ~30 s/config on this 1-core box
+        base = np.random.default_rng(0).normal(
+            size=(8, 20, 160, 160, 3)).astype(np.float32)
+        x = jnp.tile(jnp.asarray(base, jnp.float32 if dtype is None else dtype),
+                     (batch // 8, 1, 1, 1, 1))
         t0 = time.perf_counter()
         dt = _measure(detect, (params, x))
         vps = batch / dt
@@ -146,9 +149,10 @@ def main():
         def detect2(p, v):
             return net2.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
 
+        base2 = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 20, 160, 160, 3)), jnp.bfloat16)
         for tag, batch in (("b4", 4), ("b32", 32)):
-            x = jnp.asarray(np.random.default_rng(0).normal(
-                size=(batch, 20, 160, 160, 3)), jnp.bfloat16)
+            x = jnp.tile(base2, (batch // 4, 1, 1, 1, 1))
             dt = _measure(detect2, (params2, x), iters=10 if batch > 4 else 20)
             print(f"# cfg2 bf16_{tag}: {dt*1e3:.1f} ms/iter -> {batch/dt:.1f} vol/s",
                   file=sys.stderr, flush=True)
