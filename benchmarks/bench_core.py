@@ -91,6 +91,7 @@ def main():
     results["cfg1_model_gflops_per_volume"] = round(flops_per_vol / 1e9, 1)
 
     best = (0.0, None)
+    bf16_points = []  # (batch, sec/iter) for the slope fit below
 
     def _update_mfu():
         results["cfg1_mfu_vs_measured_ceiling"] = round(
@@ -98,6 +99,20 @@ def main():
         results["cfg1_hbm_roofline_note"] = (
             "measured stream ceiling 711 GB/s; see docs/ROUND2_NOTES.md")
         results["best_config"] = best[1]
+        # Slope fit over the bf16 batch sweep separates marginal per-volume
+        # compute from the FIXED per-program device cost this tunnel charges
+        # (~170 ms/execution, docs/ROUND2_NOTES.md — absent on directly
+        # attached TPUs). 1/slope is the projected steady-state throughput
+        # of the same program without that tax.
+        if len(bf16_points) >= 2:
+            bs = np.array([p[0] for p in bf16_points], np.float64)
+            ts = np.array([p[1] for p in bf16_points], np.float64)
+            slope, icept = np.polyfit(bs, ts, 1)
+            if slope > 0:
+                results["cfg1_fixed_program_cost_ms"] = round(icept * 1e3, 1)
+                results["cfg1_marginal_vols_per_sec"] = round(1.0 / slope, 1)
+                results["cfg1_mfu_marginal"] = round(
+                    flops_per_vol / slope / MEASURED_MATMUL_CEILING, 4)
 
     # ---- config 1: plain attention U-Net ----------------------------------
     # bf16 sweep FIRST (the headline), fp32_b8 LAST and deadline-gated: its
@@ -133,6 +148,8 @@ def main():
               f"(compile+run {time.perf_counter()-t0:.0f}s)",
               file=sys.stderr, flush=True)
         results[f"cfg1_{tag}"] = round(vps, 3)
+        if dtype is not None:
+            bf16_points.append((batch, dt))
         if vps > best[0]:
             best = (vps, f"cfg1_{tag}")
 

@@ -93,6 +93,17 @@ def main(only=None):
         results["prob_mc4_samples_per_sec"] = round(n_mc / dt, 3)
         print(f"# config3 MC({n_mc}) {dt*1e3:.1f}ms -> "
               f"{results['prob_mc4_samples_per_sec']} samples/s", file=sys.stderr)
+        # batched uncertainty sampling: B volumes x MC draws in ONE program
+        # (vmap over keys x batched volumes) — amortizes the fixed
+        # per-program device cost exactly like the cfg1 batch sweep
+        Bv = 4
+        xb = jnp.tile(x4, (Bv, 1, 1, 1, 1))
+        _sync(mc(prob.params, xb, key))
+        dtb = _best_of(lambda: mc(prob.params, xb, key))
+        results["prob_mc4_b4_samples_per_sec"] = round(n_mc * Bv / dtb, 3)
+        print(f"# config3 MC({n_mc}) b{Bv} {dtb*1e3:.1f}ms -> "
+              f"{results['prob_mc4_b4_samples_per_sec']} samples/s",
+              file=sys.stderr)
 
     if only in (None, "config3"):
         guarded("config3", config3)
@@ -197,8 +208,25 @@ def main(only=None):
             in_channels=3, out_channels=2, overlap=0.25, batch_size=8)
         _sync(sw(whole))
         dt = _best_of(lambda: sw(whole), n=2, iters=4)
-        results["sliding_window_fullres_sec_per_case"] = round(dt, 4)
+        results["sliding_window_fullres_sec_per_case_single"] = round(dt, 4)
         print(f"# config5 whole-gland 24x256x256 {dt:.3f}s/case (one-program)",
+              file=sys.stderr)
+        # K cases per program: the single-case result sits ON the measured
+        # ~170 ms fixed per-program device cost (docs/ROUND3_NOTES.md);
+        # vmapping the whole pipeline over a case axis amortizes it.
+        K = 4
+        swk = make_sliding_window_fn(
+            lambda x: net.apply({"params": params}, x, train=False)[
+                "y_softmax"][..., :2],
+            full_spatial=(24, 256, 256), window=(20, 160, 160),
+            in_channels=3, out_channels=2, overlap=0.25, batch_size=8,
+            cases=K)
+        wholes = jnp.stack([whole] * K)
+        _sync(swk(wholes))
+        dtk = _best_of(lambda: swk(wholes), n=2, iters=4) / K
+        results["sliding_window_fullres_sec_per_case"] = round(min(dt, dtk), 4)
+        results["sliding_window_fullres_sec_per_case_b4"] = round(dtk, 4)
+        print(f"# config5 whole-gland b{K}-cases {dtk:.3f}s/case (one-program)",
               file=sys.stderr)
 
     if only in (None, "config5"):

@@ -82,6 +82,8 @@ def make_sliding_window_fn(
     overlap: float = 0.5,
     batch_size: int = 4,
     gaussian_weights: bool = True,
+    cases: int = 1,
+    rng_per_chunk: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """ONE-program sliding-window inference (VERDICT r2 item 6).
 
@@ -96,6 +98,18 @@ def make_sliding_window_fn(
     predict_fn must be traceable: (B, *window, C_in) -> (B, *window, C_out).
     Tile geometry is static (shapes fixed at trace time); the tile count is
     padded to a multiple of ``batch_size`` with zero-weight duplicates.
+
+    cases > 1 vmaps the whole pipeline over a leading case axis: K exams run
+    as ONE program, amortizing the fixed per-program execution cost (measured
+    ~170 ms on this tunnel, docs/ROUND2_NOTES.md — at cases=1 that floor IS
+    the whole 0.171 s/case config-5 result). ``run`` then maps
+    ``(K, *full_spatial, C_in) -> (K, *full_spatial, out_channels)``.
+
+    rng_per_chunk=True threads a PRNG key through: ``run(volume, key)`` and
+    ``predict_fn(tiles, chunk_key)``, where ``chunk_key`` is ``key`` folded
+    with the chunk index — each tile chunk draws fresh randomness (MC
+    dropout / prior sampling) inside the single program. With cases > 1 the
+    key is shared across cases (tiles still differ per case).
 
     Returns ``run(volume) -> (*full_spatial, out_channels)`` fp32, equal to
     ``sliding_window_predict`` to float tolerance (tests/test_infer_and_parallel.py).
@@ -118,8 +132,9 @@ def make_sliding_window_fn(
     weight_np = (_gaussian_importance(window) if gaussian_weights
                  else np.ones(tuple(window), np.float32))
 
-    @jax.jit
-    def run(volume: jax.Array) -> jax.Array:
+    chunk_ids = jnp.arange(chunk_coords.shape[0], dtype=jnp.uint32)
+
+    def run(volume: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
         weight = jnp.asarray(weight_np)[..., None]
 
         def gather(c):
@@ -129,9 +144,13 @@ def make_sliding_window_fn(
 
         def body(carry, xs):
             acc, norm = carry
-            cs, ms = xs
+            cs, ms, cid = xs
             tiles = jax.vmap(gather)(cs)
-            outs = predict_fn(tiles).astype(jnp.float32)
+            if rng_per_chunk:
+                outs = predict_fn(
+                    tiles, jax.random.fold_in(key, cid)).astype(jnp.float32)
+            else:
+                outs = predict_fn(tiles).astype(jnp.float32)
 
             def upd(i, an):
                 a, nrm = an
@@ -149,10 +168,15 @@ def make_sliding_window_fn(
         acc = jnp.zeros((*full_spatial, out_channels), jnp.float32)
         norm = jnp.zeros((*full_spatial, 1), jnp.float32)
         (acc, norm), _ = jax.lax.scan(body, (acc, norm),
-                                      (chunk_coords, chunk_mask))
+                                      (chunk_coords, chunk_mask, chunk_ids))
         return acc / jnp.maximum(norm, 1e-8)
 
-    return run
+    if cases == 1:
+        return jax.jit(run)
+    if rng_per_chunk:
+        return jax.jit(lambda vols, key: jax.vmap(
+            lambda v: run(v, key))(vols))
+    return jax.jit(jax.vmap(run))
 
 
 def sliding_window_predict(

@@ -120,41 +120,125 @@ class InferenceSession:
             probs, unc = self(batch)
             return probs[0], (unc[0] if unc is not None else None)
 
-        # Deterministic stand-alone models: ONE compiled program per volume
-        # shape (tile gather + forward + Gaussian blend fused — see
+        # ONE compiled program per volume shape for EVERY model class (tile
+        # gather + forward + per-chunk RNG + Gaussian blend fused — see
         # infer.make_sliding_window_fn); compiled closures cached per shape.
-        if not (self.model.cascaded or self._needs_rng):
-            from .infer import make_sliding_window_fn
+        # MC models additionally fuse the mean/std over posterior draws.
+        import jax
+        import jax.numpy as jnp
 
-            cache = self.__dict__.setdefault("_sw_cache", {})
-            ckey = (tuple(vols[0].shape), float(sw_overlap))
-            if ckey not in cache:
-                nc = self.model.num_classes
-                net, params = self.model.net, self.model.params
-                cache[ckey] = make_sliding_window_fn(
-                    lambda t: net.apply({"params": params}, t, train=False)[
-                        "y_softmax"][..., :nc],
-                    full_spatial=vols[0].shape[:-1], window=window,
-                    in_channels=vols[0].shape[-1], out_channels=nc,
-                    overlap=sw_overlap)
-            return np.asarray(cache[ckey](vols[0]), np.float32), None
-
-        from .infer import sliding_window_predict
-
-        if self.model.cascaded:
-            # Tile both exams with identical coordinates: stack along the
-            # channel axis, split back per tile batch.
-            c = vols[0].shape[-1]
-            stacked = np.concatenate(vols, axis=-1)
-            probs = sliding_window_predict(
-                lambda t: self((np.asarray(t[..., :c]),
-                                np.asarray(t[..., c:])))[0],
-                stacked, window=window, overlap=sw_overlap)
+        stacked = np.concatenate(vols, axis=-1) if self.model.cascaded \
+            else vols[0]
+        run, out_mult = self._sw_program(tuple(stacked.shape),
+                                         float(sw_overlap), cases=1)
+        if self._needs_rng:
+            self._rng, sub = jax.random.split(self._rng)
+            out = np.asarray(run(jnp.asarray(stacked), sub), np.float32)
         else:
-            probs = sliding_window_predict(
-                lambda t: self(np.asarray(t))[0], vols[0], window=window,
-                overlap=sw_overlap)
-        return np.asarray(probs, np.float32), None
+            out = np.asarray(run(jnp.asarray(stacked)), np.float32)
+        nc = self.model.num_classes
+        if out_mult == 2:
+            return out[..., :nc], out[..., nc:]
+        return out, None
+
+    def _sw_program(self, stacked_shape, sw_overlap: float, cases: int):
+        """Cached one-program sliding window for this model class.
+
+        stacked_shape: full-volume shape with cascaded exams concatenated on
+        the channel axis (both stages tile with identical coordinates —
+        reference networks.py:111-112 two-input contract). Returns
+        ``(run, out_mult)`` where out_mult=2 means the program emits
+        ``concat([mean, std], -1)`` over ``mc_iter`` posterior draws and the
+        Gaussian blend aggregates both (per-voxel std is tile-blended — an
+        aggregation of per-tile MC stds, matching what repeated tiled MC
+        inference measures).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .infer import make_sliding_window_fn
+
+        cache = self.__dict__.setdefault("_sw_cache", {})
+        ckey = (tuple(stacked_shape), float(sw_overlap), int(cases))
+        if ckey in cache:
+            return cache[ckey]
+
+        window = tuple(self.model.input_spatial_dims)
+        nc = self.model.num_classes
+        c = self.model.input_channels
+        casc = bool(self.model.cascaded)
+        needs_rng = self._needs_rng
+        mc = self.mc_iter if (needs_rng and self.mc_iter > 1) else 1
+        detect = self.model.get_detect_model()
+        params = self.model.params
+
+        def fwd(tiles, rng=None):
+            inp = (tiles[..., :c], tiles[..., c:]) if casc else tiles
+            out = detect(params, inp, rng=rng) if needs_rng \
+                else detect(params, inp)
+            return out[-1] if casc else out  # cascaded: final-stage detection
+
+        if needs_rng and mc > 1:
+            def tile_fn(tiles, key):
+                s = jax.vmap(lambda k: fwd(tiles, k))(
+                    jax.random.split(key, mc))
+                return jnp.concatenate([s.mean(0), s.std(0)], axis=-1)
+            out_mult = 2
+        elif needs_rng:
+            tile_fn, out_mult = fwd, 1
+        else:
+            tile_fn, out_mult = (lambda tiles: fwd(tiles)), 1
+
+        run = make_sliding_window_fn(
+            tile_fn, full_spatial=stacked_shape[:-1], window=window,
+            in_channels=stacked_shape[-1], out_channels=nc * out_mult,
+            overlap=sw_overlap, cases=cases, rng_per_chunk=needs_rng)
+        cache[ckey] = (run, out_mult)
+        return cache[ckey]
+
+    def predict_cases(self, volumes, sw_overlap: float = 0.5,
+                      group_size: int = 4):
+        """K same-shape oversized cases as one K-case program.
+
+        Works for every model class (cascaded tuples are channel-stacked;
+        MC/probabilistic share one key per group, with per-chunk folding
+        inside the program). Groups are padded to ``group_size`` with a
+        duplicate volume so every group reuses ONE compiled program (K cases
+        per program amortize the fixed per-program device cost —
+        docs/ROUND3_NOTES.md measurements).
+
+        Returns ``[(probs, uncertainty | None), ...]`` aligned with
+        ``volumes``.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        stacked = [np.concatenate(v, axis=-1) if isinstance(v, tuple) else v
+                   for v in volumes]
+        if len(stacked) == 1 or len({tuple(v.shape) for v in stacked}) != 1:
+            return [self.predict_case(v, sw_overlap=sw_overlap)
+                    for v in volumes]
+
+        k = min(int(group_size), len(stacked))
+        run_k, out_mult = self._sw_program(tuple(stacked[0].shape),
+                                           float(sw_overlap), cases=k)
+        nc = self.model.num_classes
+        out: List[tuple] = []
+        for i in range(0, len(stacked), k):
+            group = stacked[i:i + k]
+            pad = k - len(group)
+            block = jnp.stack(group + [group[0]] * pad)
+            if self._needs_rng:
+                self._rng, sub = jax.random.split(self._rng)
+                probs = np.asarray(run_k(block, sub), np.float32)
+            else:
+                probs = np.asarray(run_k(block), np.float32)
+            for j in range(len(group)):
+                if out_mult == 2:
+                    out.append((probs[j][..., :nc], probs[j][..., nc:]))
+                else:
+                    out.append((probs[j], None))
+        return out
 
 
 def _load_one(row: Dict[str, str], train_obj: str, channels: int,
@@ -197,9 +281,11 @@ def run(args) -> List[Dict]:
     window = tuple(model.input_spatial_dims)
     rows = read_manifest(args.MANIFEST)
 
-    # group window-sized cases into batches; oversized go one-by-one (SW)
+    # group window-sized cases into batches; oversized group by shape into
+    # K-case one-program sliding windows (all model classes)
     results: List[Dict] = []
     pending: List[tuple] = []
+    pending_sw: Dict[tuple, List[tuple]] = {}
 
     def flush():
         if not pending:
@@ -243,10 +329,16 @@ def run(args) -> List[Dict]:
             if len(pending) >= args.BATCH_SIZE:
                 flush()
         else:
-            flush()
-            probs, unc = session.predict_case(vol, sw_overlap=args.SW_OVERLAP)
-            results.append(_emit(pid, probs, unc))
+            pending_sw.setdefault(tuple(shape_src.shape), []).append((pid, vol))
     flush()
+    for items in pending_sw.values():
+        ids, vols = zip(*items)
+        outs = session.predict_cases(
+            list(vols), sw_overlap=args.SW_OVERLAP,
+            group_size=max(1, min(args.BATCH_SIZE, 4)))
+        for pid, (probs, unc) in zip(ids, outs):
+            results.append(_emit(pid, probs, unc))
+    pending_sw.clear()
 
     summary_path = os.path.join(args.OUTPUT_DIR, "predictions.json")
     with open(summary_path, "w") as f:

@@ -40,6 +40,27 @@ def test_jit_matches_eager(full, window, overlap, bs):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_multi_case_batch_matches_single():
+    """cases=K vmaps the whole program; per-case outputs equal the
+    single-case run (the K-case program amortizes the fixed per-program
+    device cost — docs/ROUND3_NOTES.md)."""
+    full, window = (8, 24, 24), (4, 16, 16)
+    rng = np.random.default_rng(2)
+    vols = jnp.asarray(rng.normal(size=(3, *full, 3)), jnp.float32)
+    single = make_sliding_window_fn(
+        _predict, full_spatial=full, window=window, in_channels=3,
+        out_channels=2, overlap=0.5, batch_size=4)
+    batched = make_sliding_window_fn(
+        _predict, full_spatial=full, window=window, in_channels=3,
+        out_channels=2, overlap=0.5, batch_size=4, cases=3)
+    out = batched(vols)
+    assert out.shape == (3, *full, 2)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out[i]),
+                                   np.asarray(single(vols[i])),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_no_gaussian_weights():
     full, window = (6, 20, 20), (4, 16, 16)
     vol = jnp.asarray(
