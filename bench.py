@@ -115,11 +115,16 @@ def main():
     core = os.path.join(HERE, "benchmarks", "bench_core.py")
 
     # (worker argv, min seconds of budget to even attempt it, settle delay)
+    # Order = value-at-risk under tunnel flakiness (a single program has been
+    # observed to recompile server-side for ~475 s despite the warm local
+    # cache): core headline first, then the training step, then the K-case
+    # sliding window (the round-3 highlight; ~90 s warm), then MC sampling,
+    # then the expensive b-variants.
     plan = [
         ([core], 120, 0),
         ([ext, "--only", "config4"], 150, 10),
-        ([ext, "--only", "config3"], 90, 10),
         ([ext, "--only", "config5"], 90, 10),
+        ([ext, "--only", "config3"], 90, 10),
         ([ext, "--only", "config5b"], 90, 10),
         ([ext, "--only", "config4b"], 120, 10),
     ]
