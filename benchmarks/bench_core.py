@@ -115,6 +115,15 @@ def main():
                     flops_per_vol / slope / MEASURED_MATMUL_CEILING, 4)
 
     # ---- config 1: plain attention U-Net ----------------------------------
+    # The FIRST real program a process executes pays a highly variable
+    # tunnel warm-up (observed 150-550 s even with every executable in the
+    # local persistent cache). Absorb it with a trivial program so the
+    # measured sweep starts from a settled session.
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.jit(lambda a: a * 2.0)(jnp.ones((8, 128))))
+    print(f"# warmup program: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
     # bf16 sweep FIRST (the headline), fp32_b8 LAST and deadline-gated: its
     # 500 s compile ate the round-2 bench budget (VERDICT r2 item 1).
     # Batch sweep caps at 120: b124+ is HBM RESOURCE_EXHAUSTED on this chip
@@ -157,6 +166,16 @@ def main():
     print(json.dumps(results), flush=True)
 
     # ---- config 2: dense-skip + deep supervision ---------------------------
+    # Free cfg1's device buffers first: the b112 sweep point needs the HBM
+    # that cfg1's b120 input still holds (probe-verified to fit standalone;
+    # OOM'd in-process without this release).
+    try:
+        del x, detect, params, fp32
+    except NameError:
+        pass
+    import gc
+
+    gc.collect()
     if _time_left() > 120:
         m2 = build(jnp.bfloat16, dense=True, ds=True)
         net2 = m2.net
@@ -166,14 +185,30 @@ def main():
         def detect2(p, v):
             return net2.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
 
-        base2 = jnp.asarray(np.random.default_rng(0).normal(
-            size=(4, 20, 160, 160, 3)), jnp.bfloat16)
-        for tag, batch in (("b4", 4), ("b32", 32)):
-            x = jnp.tile(base2, (batch // 4, 1, 1, 1, 1))
-            dt = _measure(detect2, (params2, x), iters=10 if batch > 4 else 20)
+        base2 = np.random.default_rng(0).normal(
+            size=(4, 20, 160, 160, 3)).astype(np.float32)
+        # b112 is the measured sweet spot (benchmarks/r3_probe_batch2.py):
+        # the dense+DS program is ~85% fixed cost, so batch amortization
+        # keeps paying long past cfg1's knee (379 vol/s vs 126 at b32).
+        # Each point is individually guarded: a RESOURCE_EXHAUSTED at the
+        # largest batch must not void the smaller points (or the worker).
+        for tag, batch in (("b4", 4), ("b32", 32), ("b112", 112)):
+            x2 = jnp.tile(jnp.asarray(base2, jnp.bfloat16),
+                          (batch // 4, 1, 1, 1, 1))
+            try:
+                dt = _measure(detect2, (params2, x2),
+                              iters=10 if batch > 4 else 20)
+            except Exception as e:
+                print(f"# cfg2 bf16_{tag} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", file=sys.stderr, flush=True)
+                del x2
+                gc.collect()
+                break
             print(f"# cfg2 bf16_{tag}: {dt*1e3:.1f} ms/iter -> {batch/dt:.1f} vol/s",
                   file=sys.stderr, flush=True)
             results[f"cfg2_dense_ds_bf16_{tag}"] = round(batch / dt, 3)
+            del x2
+            gc.collect()
     else:
         print("# skipping cfg2 (deadline)", file=sys.stderr, flush=True)
 

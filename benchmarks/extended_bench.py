@@ -95,14 +95,17 @@ def main(only=None):
               f"{results['prob_mc4_samples_per_sec']} samples/s", file=sys.stderr)
         # batched uncertainty sampling: B volumes x MC draws in ONE program
         # (vmap over keys x batched volumes) — amortizes the fixed
-        # per-program device cost exactly like the cfg1 batch sweep
-        Bv = 4
+        # per-program device cost exactly like the cfg1 batch sweep.
+        # B=12 is the measured max (benchmarks/r3_probe_batch2.py: 78
+        # samples/s; B=16's 48-pass plan exceeds the compile helper's HBM
+        # limit).
+        Bv = 12
         xb = jnp.tile(x4, (Bv, 1, 1, 1, 1))
         _sync(mc(prob.params, xb, key))
         dtb = _best_of(lambda: mc(prob.params, xb, key))
-        results["prob_mc4_b4_samples_per_sec"] = round(n_mc * Bv / dtb, 3)
+        results[f"prob_mc4_b{Bv}_samples_per_sec"] = round(n_mc * Bv / dtb, 3)
         print(f"# config3 MC({n_mc}) b{Bv} {dtb*1e3:.1f}ms -> "
-              f"{results['prob_mc4_b4_samples_per_sec']} samples/s",
+              f"{results[f'prob_mc4_b{Bv}_samples_per_sec']} samples/s",
               file=sys.stderr)
 
     if only in (None, "config3"):
@@ -213,8 +216,11 @@ def main(only=None):
               file=sys.stderr)
         # K cases per program: the single-case result sits ON the measured
         # ~170 ms fixed per-program device cost (docs/ROUND3_NOTES.md);
-        # vmapping the whole pipeline over a case axis amortizes it.
-        K = 4
+        # vmapping the whole pipeline over a case axis amortizes it. The
+        # K-ladder measured 206/254/293 ms total at K=4/8/12 (intercept
+        # ~163 ms, marginal ~10.9 ms/case — benchmarks/r3_probe_batch2
+        # campaign), so K=12 is the recorded config.
+        K = 12
         swk = make_sliding_window_fn(
             lambda x: net.apply({"params": params}, x, train=False)[
                 "y_softmax"][..., :2],
@@ -225,7 +231,7 @@ def main(only=None):
         _sync(swk(wholes))
         dtk = _best_of(lambda: swk(wholes), n=2, iters=4) / K
         results["sliding_window_fullres_sec_per_case"] = round(min(dt, dtk), 4)
-        results["sliding_window_fullres_sec_per_case_b4"] = round(dtk, 4)
+        results[f"sliding_window_fullres_sec_per_case_b{K}"] = round(dtk, 4)
         print(f"# config5 whole-gland b{K}-cases {dtk:.3f}s/case (one-program)",
               file=sys.stderr)
 

@@ -197,7 +197,7 @@ class InferenceSession:
         return cache[ckey]
 
     def predict_cases(self, volumes, sw_overlap: float = 0.5,
-                      group_size: int = 4):
+                      group_size: int = 8):
         """K same-shape oversized cases as one K-case program.
 
         Works for every model class (cascaded tuples are channel-stacked;
@@ -333,9 +333,13 @@ def run(args) -> List[Dict]:
     flush()
     for items in pending_sw.values():
         ids, vols = zip(*items)
+        # K-ladder on the chip: 206/254/293 ms total at K=4/8/12 whole-gland
+        # cases (~10.9 ms marginal per case) — groups of 8 amortize the
+        # fixed program cost well while bounding the HBM plan for volumes
+        # larger than the measured 24x256x256.
         outs = session.predict_cases(
             list(vols), sw_overlap=args.SW_OVERLAP,
-            group_size=max(1, min(args.BATCH_SIZE, 4)))
+            group_size=max(1, min(args.BATCH_SIZE, 8)))
         for pid, (probs, unc) in zip(ids, outs):
             results.append(_emit(pid, probs, unc))
     pending_sw.clear()
