@@ -155,8 +155,11 @@ def main(only=None):
     # ---- config 4b: bf16 mixed-precision training step ---------------------
     # TPU-native recipe (bf16 compute, fp32 params/optimizer): +45% over the
     # fp32 reference step. Runs as its own worker — compiling a second large
-    # train program in one process wedges the device tunnel; b8+ bf16 train
-    # faults the device kernel outright (docs/ROUND2_NOTES.md).
+    # train program in one process wedges the device tunnel. Batch is capped
+    # at the reference's b2: b4 bf16 train compiles but FAULTS at execution
+    # (INVALID_ARGUMENT; round-3 probe — the fault surfaces only on a true
+    # sync, async enqueue masks it), b6+ crashes the compile helper, and
+    # b8/b16 fp32 were already OOM in round 2 (docs/ROUND2_NOTES.md).
     def config4b():
         prob16 = M1(
             input_spatial_dims=(20, 160, 160), input_channels=4, num_classes=2,
