@@ -115,10 +115,12 @@ def main():
                     flops_per_vol / slope / MEASURED_MATMUL_CEILING, 4)
 
     # ---- config 1: plain attention U-Net ----------------------------------
-    # The FIRST real program a process executes pays a highly variable
-    # tunnel warm-up (observed 150-550 s even with every executable in the
-    # local persistent cache). Absorb it with a trivial program so the
-    # measured sweep starts from a settled session.
+    # Session warm-up probe. NOTE: this only settles per-session setup
+    # (~1 s); it does NOT absorb the variable 150-550 s cost of loading the
+    # first BIG executable (measured: warmup 0.8 s, first b64 program still
+    # 201 s — docs/ROUND3_NOTES.md). That cost lands in _measure's warmup
+    # iterations and is excluded from the timed loop; this probe exists to
+    # separate the two in the stderr log.
     t0 = time.perf_counter()
     jax.block_until_ready(jax.jit(lambda a: a * 2.0)(jnp.ones((8, 128))))
     print(f"# warmup program: {time.perf_counter()-t0:.1f}s",
@@ -193,9 +195,12 @@ def main():
         # Each point is individually guarded: a RESOURCE_EXHAUSTED at the
         # largest batch must not void the smaller points (or the worker).
         for tag, batch in (("b4", 4), ("b32", 32), ("b112", 112)):
-            x2 = jnp.tile(jnp.asarray(base2, jnp.bfloat16),
-                          (batch // 4, 1, 1, 1, 1))
+            x2 = None
             try:
+                # the tile itself can RESOURCE_EXHAUST at b112 — keep the
+                # allocation inside the guard too
+                x2 = jnp.tile(jnp.asarray(base2, jnp.bfloat16),
+                              (batch // 4, 1, 1, 1, 1))
                 dt = _measure(detect2, (params2, x2),
                               iters=10 if batch > 4 else 20)
             except Exception as e:

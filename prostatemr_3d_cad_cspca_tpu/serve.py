@@ -215,7 +215,11 @@ class InferenceSession:
 
         stacked = [np.concatenate(v, axis=-1) if isinstance(v, tuple) else v
                    for v in volumes]
-        if len(stacked) == 1 or len({tuple(v.shape) for v in stacked}) != 1:
+        # k < 2 must take the single-case path: the cases=1 program expects
+        # an UNBATCHED volume (make_sliding_window_fn only adds the case
+        # axis for cases > 1).
+        if (len(stacked) == 1 or int(group_size) < 2
+                or len({tuple(v.shape) for v in stacked}) != 1):
             return [self.predict_case(v, sw_overlap=sw_overlap)
                     for v in volumes]
 
@@ -319,8 +323,24 @@ def run(args) -> List[Dict]:
         entry["case_score"] = round(float(fg.max()), 6)
         return entry
 
+    # K-ladder on the chip: 206/254/293 ms total at K=4/8/12 whole-gland
+    # cases (~10.9 ms marginal per case) — groups of 8 amortize the fixed
+    # program cost well while bounding the HBM plan for volumes larger
+    # than the measured 24x256x256.
+    sw_group = max(1, min(args.BATCH_SIZE, 8))
+
+    def flush_sw(items):
+        ids, vols = zip(*items)
+        outs = session.predict_cases(
+            list(vols), sw_overlap=args.SW_OVERLAP, group_size=sw_group)
+        for pid, (probs, unc) in zip(ids, outs):
+            results.append(_emit(pid, probs, unc))
+        items.clear()
+
+    order: List[str] = []
     for row in rows:
         pid = row.get("p-id", os.path.basename(row["image_path"]))
+        order.append(pid)
         vol = _load_case(row, args.TRAIN_OBJ, model.input_channels,
                          bool(args.WHITEN), cascaded=bool(model.cascaded))
         shape_src = vol[0] if isinstance(vol, tuple) else vol
@@ -329,20 +349,23 @@ def run(args) -> List[Dict]:
             if len(pending) >= args.BATCH_SIZE:
                 flush()
         else:
-            pending_sw.setdefault(tuple(shape_src.shape), []).append((pid, vol))
+            items = pending_sw.setdefault(tuple(shape_src.shape), [])
+            items.append((pid, vol))
+            # process full groups eagerly: host memory stays O(group),
+            # not O(total oversized cases)
+            if len(items) >= sw_group:
+                flush_sw(items)
     flush()
     for items in pending_sw.values():
-        ids, vols = zip(*items)
-        # K-ladder on the chip: 206/254/293 ms total at K=4/8/12 whole-gland
-        # cases (~10.9 ms marginal per case) — groups of 8 amortize the
-        # fixed program cost well while bounding the HBM plan for volumes
-        # larger than the measured 24x256x256.
-        outs = session.predict_cases(
-            list(vols), sw_overlap=args.SW_OVERLAP,
-            group_size=max(1, min(args.BATCH_SIZE, 8)))
-        for pid, (probs, unc) in zip(ids, outs):
-            results.append(_emit(pid, probs, unc))
+        if items:
+            flush_sw(items)
     pending_sw.clear()
+
+    # results accumulate batched-window cases and sliding-window groups in
+    # completion order; re-emit in manifest order so positional consumers
+    # of predictions.json stay correct
+    rank = {pid: i for i, pid in enumerate(order)}
+    results.sort(key=lambda r: rank.get(r["p-id"], len(rank)))
 
     summary_path = os.path.join(args.OUTPUT_DIR, "predictions.json")
     with open(summary_path, "w") as f:

@@ -98,6 +98,45 @@ def test_serve_oversized_group_batches(tmp_path):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_serve_batch_size_one_oversized(tmp_path):
+    """BATCH_SIZE=1 with multiple oversized cases must route through the
+    single-case sliding window (group_size<2 cannot use the K-case program,
+    whose cases=1 variant expects an UNBATCHED volume) — regression for the
+    round-3 review finding."""
+    tmp = str(tmp_path)
+    model_path = _mk_model(tmp)
+    big = (6, 24, 24)
+    man = _mk_manifest(tmp, [big, big])
+    out = os.path.join(tmp, "out")
+    args = serve.build_parser().parse_args([
+        "--MODEL", model_path, "--MANIFEST", man, "--OUTPUT_DIR", out,
+        "--BATCH_SIZE", "1"])
+    results = serve.run(args)
+    assert len(results) == 2
+    for r in results:
+        probs = np.load(r["detection_path"])
+        assert probs.shape == (*big, 2)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+
+def test_serve_manifest_order_preserved(tmp_path):
+    """predictions.json follows manifest order even when window-sized and
+    oversized cases interleave (positional consumers must not be
+    misassociated)."""
+    tmp = str(tmp_path)
+    model_path = _mk_model(tmp)
+    big = (6, 24, 24)
+    man = _mk_manifest(tmp, [big, SPATIAL, big, SPATIAL, big])
+    out = os.path.join(tmp, "out")
+    args = serve.build_parser().parse_args([
+        "--MODEL", model_path, "--MANIFEST", man, "--OUTPUT_DIR", out,
+        "--BATCH_SIZE", "2"])
+    results = serve.run(args)
+    with open(os.path.join(out, "predictions.json")) as f:
+        summary = json.load(f)
+    assert [r["p-id"] for r in summary] == [f"case{i}" for i in range(5)]
+
+
 def test_serve_cascaded(tmp_path):
     """Cascaded checkpoints serve end-to-end (ADVICE r2 / VERDICT r2 item 7):
     window-sized batching feeds (image_1, image_2) tuples; oversized volumes
