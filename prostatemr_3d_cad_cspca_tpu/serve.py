@@ -48,22 +48,46 @@ def build_parser() -> argparse.ArgumentParser:
                    help="z-score inputs (for volumes not pre-whitened)")
     p.add_argument("--SEED", type=int, default=0)
     p.add_argument("--SAVE_UNCERTAINTY", type=int, default=1)
+    p.add_argument("--DATA_PARALLEL", type=int, default=0,
+                   help="shard the batched detect program over the first N "
+                        "devices (0/1 = single device)")
     return p
 
 
 class InferenceSession:
-    """Compile-once detect wrapper around a loaded M1 model."""
+    """Compile-once detect wrapper around a loaded M1 model.
 
-    def __init__(self, model, mc_iter: int = 1, seed: int = 0):
+    mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — the batched
+    window-sized detect program then shards its batch dimension across the
+    mesh (params replicated, outputs sharded), scaling serving throughput
+    across a slice with XLA-inserted collectives only. ``__call__`` pads the
+    batch up to a multiple of the data-axis size with a duplicated last
+    case and strips the padding from the outputs. The sliding-window paths
+    stay single-device (their case axis is typically smaller than a slice).
+    """
+
+    def __init__(self, model, mc_iter: int = 1, seed: int = 0, mesh=None):
         import jax
 
         self.model = model
         self.mc_iter = int(mc_iter)
+        self.mesh = mesh
+        self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
         self._rng = jax.random.PRNGKey(seed)
         self._needs_rng = bool(
             model.probabilistic
             or model.config.get("dropout_mode") == "monte-carlo")
         detect = model.get_detect_model()
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            dsh = NamedSharding(mesh, P("data"))
+            jit_rng = dict(in_shardings=(rep, dsh, rep), out_shardings=dsh)
+            jit_det = dict(in_shardings=(rep, dsh), out_shardings=dsh)
+        else:
+            jit_rng = jit_det = {}
 
         if self._needs_rng and self.mc_iter > 1:
             from .infer import mc_predict
@@ -72,11 +96,11 @@ class InferenceSession:
                 return mc_predict(detect, params, x, rng,
                                   num_samples=self.mc_iter,
                                   reduce="mean_std")
-            self._fn = jax.jit(run)
+            self._fn = jax.jit(run, **jit_rng)
         elif self._needs_rng:
-            self._fn = jax.jit(lambda p, x, r: detect(p, x, rng=r))
+            self._fn = jax.jit(lambda p, x, r: detect(p, x, rng=r), **jit_rng)
         else:
-            self._fn = jax.jit(lambda p, x: detect(p, x))
+            self._fn = jax.jit(lambda p, x: detect(p, x), **jit_det)
 
     def __call__(self, batch):
         """Batch -> (probs, uncertainty | None), fp32 numpy.
@@ -90,6 +114,13 @@ class InferenceSession:
 
         if self.model.cascaded and not isinstance(batch, tuple):
             batch = (batch, batch)
+        b = (batch[0] if isinstance(batch, tuple) else batch).shape[0]
+        pad = (-b) % self._n_data
+        if pad:  # mesh path: batch must divide the data axis
+            def _pad(a):
+                return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
+            batch = (tuple(_pad(a) for a in batch)
+                     if isinstance(batch, tuple) else _pad(batch))
         if self._needs_rng:
             self._rng, sub = jax.random.split(self._rng)
             out = self._fn(self.model.params, batch, sub)
@@ -99,10 +130,11 @@ class InferenceSession:
             mean, std = out
             if self.model.cascaded:  # final-stage detection + uncertainty
                 mean, std = mean[-1], std[-1]
-            return np.asarray(mean, np.float32), np.asarray(std, np.float32)
+            return (np.asarray(mean, np.float32)[:b],
+                    np.asarray(std, np.float32)[:b])
         if isinstance(out, tuple):  # cascaded: final-stage detection
             out = out[-1]
-        return np.asarray(out, np.float32), None
+        return np.asarray(out, np.float32)[:b], None
 
     def predict_case(self, volume, sw_overlap: float = 0.5):
         """One whole case; sliding-window when oversized.
@@ -281,7 +313,13 @@ def run(args) -> List[Dict]:
 
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
     model = M1.load(args.MODEL)
-    session = InferenceSession(model, mc_iter=args.MC_ITER, seed=args.SEED)
+    mesh = None
+    if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=int(args.DATA_PARALLEL))
+    session = InferenceSession(model, mc_iter=args.MC_ITER, seed=args.SEED,
+                               mesh=mesh)
     window = tuple(model.input_spatial_dims)
     rows = read_manifest(args.MANIFEST)
 

@@ -98,6 +98,50 @@ def test_serve_oversized_group_batches(tmp_path):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_serve_data_parallel_mesh(tmp_path):
+    """mesh=Mesh(data=4): the batched detect program shards its batch axis
+    across the mesh and matches the single-device session voxel-for-voxel,
+    including a batch (5) that needs padding to the data-axis multiple and
+    an MC model sharing the same seed."""
+    from prostatemr_3d_cad_cspca_tpu.parallel.mesh import make_mesh
+
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(3)
+    batch = rng.normal(size=(5, *SPATIAL, 3)).astype(np.float32)
+    mesh = make_mesh(n_data=4)
+
+    model = M1.load(_mk_model(tmp))
+    ref, _ = serve.InferenceSession(model)(batch)
+    got, _ = serve.InferenceSession(model, mesh=mesh)(batch)
+    assert got.shape == (5, *SPATIAL, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    mc = M1.load(_mk_model(tmp, dropout_mode="monte-carlo", dropout_rate=0.5))
+    ref_m, ref_s = serve.InferenceSession(mc, mc_iter=3, seed=7)(batch)
+    got_m, got_s = serve.InferenceSession(mc, mc_iter=3, seed=7,
+                                          mesh=mesh)(batch)
+    np.testing.assert_allclose(got_m, ref_m, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got_s, ref_s, atol=1e-5, rtol=1e-5)
+
+
+def test_serve_cli_data_parallel(tmp_path):
+    """--DATA_PARALLEL N drives the whole manifest through the sharded
+    batched program."""
+    tmp = str(tmp_path)
+    model_path = _mk_model(tmp)
+    man = _mk_manifest(tmp, [SPATIAL] * 5)
+    out = os.path.join(tmp, "out")
+    args = serve.build_parser().parse_args([
+        "--MODEL", model_path, "--MANIFEST", man, "--OUTPUT_DIR", out,
+        "--BATCH_SIZE", "8", "--DATA_PARALLEL", "4"])
+    results = serve.run(args)
+    assert len(results) == 5
+    for r in results:
+        probs = np.load(r["detection_path"])
+        assert probs.shape == (*SPATIAL, 2)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+
 def test_serve_batch_size_one_oversized(tmp_path):
     """BATCH_SIZE=1 with multiple oversized cases must route through the
     single-case sliding window (group_size<2 cannot use the K-case program,
