@@ -84,6 +84,7 @@ def make_sliding_window_fn(
     gaussian_weights: bool = True,
     cases: int = 1,
     rng_per_chunk: bool = False,
+    mesh=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """ONE-program sliding-window inference (VERDICT r2 item 6).
 
@@ -173,6 +174,27 @@ def make_sliding_window_fn(
 
     if cases == 1:
         return jax.jit(run)
+
+    # cases > 1: optionally shard the case axis over a mesh's 'data'
+    # dimension — K whole-gland exams then run as ONE SPMD program across
+    # the slice. The case axis is embarrassingly parallel, so shard_map is
+    # the right tool: each device runs the unpartitioned single-case
+    # program on its local cases/ K/n_data (no collectives; also sidesteps
+    # a GSPMD×scan CPU-codegen failure hit with sharding annotations).
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        assert cases % mesh.shape["data"] == 0, (
+            f"cases={cases} must divide the mesh data axis "
+            f"({mesh.shape['data']})")
+        if rng_per_chunk:
+            return jax.jit(jax.shard_map(
+                lambda vols, key: jax.vmap(lambda v: run(v, key))(vols),
+                mesh=mesh, in_specs=(P("data"), P()), out_specs=P("data"),
+                check_vma=False))
+        return jax.jit(jax.shard_map(
+            jax.vmap(run), mesh=mesh, in_specs=(P("data"),),
+            out_specs=P("data"), check_vma=False))
     if rng_per_chunk:
         return jax.jit(lambda vols, key: jax.vmap(
             lambda v: run(v, key))(vols))

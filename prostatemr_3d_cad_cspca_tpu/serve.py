@@ -221,10 +221,15 @@ class InferenceSession:
         else:
             tile_fn, out_mult = (lambda tiles: fwd(tiles)), 1
 
+        # K-case programs shard their case axis over the session mesh when
+        # K divides its data dimension (whole-gland serving scale-out)
+        sw_mesh = (self.mesh if (cases > 1 and self.mesh is not None
+                                 and cases % self._n_data == 0) else None)
         run = make_sliding_window_fn(
             tile_fn, full_spatial=stacked_shape[:-1], window=window,
             in_channels=stacked_shape[-1], out_channels=nc * out_mult,
-            overlap=sw_overlap, cases=cases, rng_per_chunk=needs_rng)
+            overlap=sw_overlap, cases=cases, rng_per_chunk=needs_rng,
+            mesh=sw_mesh)
         cache[ckey] = (run, out_mult)
         return cache[ckey]
 
@@ -256,6 +261,11 @@ class InferenceSession:
                     for v in volumes]
 
         k = min(int(group_size), len(stacked))
+        if self._n_data > 1:
+            # round K up to a data-axis multiple so the case axis shards
+            # evenly (groups pad with duplicates anyway)
+            k = max(self._n_data,
+                    ((k + self._n_data - 1) // self._n_data) * self._n_data)
         run_k, out_mult = self._sw_program(tuple(stacked[0].shape),
                                            float(sw_overlap), cases=k)
         nc = self.model.num_classes

@@ -124,6 +124,26 @@ def test_serve_data_parallel_mesh(tmp_path):
     np.testing.assert_allclose(got_s, ref_s, atol=1e-5, rtol=1e-5)
 
 
+def test_serve_mesh_sharded_sliding_window(tmp_path):
+    """predict_cases on a mesh session rounds K up to a data-axis multiple
+    and shards the K-case sliding-window program; results match the
+    single-device session."""
+    from prostatemr_3d_cad_cspca_tpu.parallel.mesh import make_mesh
+
+    tmp = str(tmp_path)
+    model = M1.load(_mk_model(tmp))
+    big = (6, 24, 24)
+    rng = np.random.default_rng(4)
+    vols = [rng.normal(size=(*big, 3)).astype(np.float32) for _ in range(3)]
+
+    ref = serve.InferenceSession(model).predict_cases(vols, group_size=3)
+    got = serve.InferenceSession(model, mesh=make_mesh(n_data=2)) \
+        .predict_cases(vols, group_size=3)
+    assert len(got) == 3
+    for (rp, _), (gp, _) in zip(ref, got):
+        np.testing.assert_allclose(gp, rp, atol=1e-5, rtol=1e-5)
+
+
 def test_serve_cli_data_parallel(tmp_path):
     """--DATA_PARALLEL N drives the whole manifest through the sharded
     batched program."""

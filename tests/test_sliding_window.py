@@ -61,6 +61,24 @@ def test_multi_case_batch_matches_single():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_multi_case_mesh_sharded_matches_single():
+    """cases=K with mesh: the case axis shards over the mesh's data
+    dimension and outputs equal the unsharded program (whole-gland serving
+    scale-out across a slice)."""
+    from prostatemr_3d_cad_cspca_tpu.parallel.mesh import make_mesh
+
+    full, window = (8, 24, 24), (4, 16, 16)
+    rng = np.random.default_rng(5)
+    vols = jnp.asarray(rng.normal(size=(4, *full, 3)), jnp.float32)
+    kw = dict(full_spatial=full, window=window, in_channels=3,
+              out_channels=2, overlap=0.5, batch_size=4, cases=4)
+    plain = make_sliding_window_fn(_predict, **kw)
+    sharded = make_sliding_window_fn(_predict, mesh=make_mesh(n_data=4), **kw)
+    np.testing.assert_allclose(np.asarray(sharded(vols)),
+                               np.asarray(plain(vols)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_no_gaussian_weights():
     full, window = (6, 20, 20), (4, 16, 16)
     vol = jnp.asarray(
