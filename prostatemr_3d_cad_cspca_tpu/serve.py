@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--DATA_PARALLEL", type=int, default=0,
                    help="shard the batched detect program over the first N "
                         "devices (0/1 = single device)")
+    p.add_argument("--TRANSFER_DTYPE", type=str, default="float32",
+                   choices=["float32", "float16"],
+                   help="device-side output cast before the host pull; "
+                        "float16 halves transfer bytes (quantizes "
+                        "probabilities by <=~5e-4)")
     return p
 
 
@@ -66,13 +71,22 @@ class InferenceSession:
     stay single-device (their case axis is typically smaller than a slice).
     """
 
-    def __init__(self, model, mc_iter: int = 1, seed: int = 0, mesh=None):
+    def __init__(self, model, mc_iter: int = 1, seed: int = 0, mesh=None,
+                 transfer_dtype=None):
         import jax
+        import jax.numpy as jnp
 
         self.model = model
         self.mc_iter = int(mc_iter)
         self.mesh = mesh
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        # transfer_dtype ("float16"): cast outputs ON DEVICE before the
+        # host pull. The measured device->host link runs at ~22 MB/s (60x
+        # below host->device), so halving transfer bytes ~halves serving
+        # latency; fp16 quantizes softmax probabilities by <=~5e-4.
+        # Default None keeps outputs bit-exact fp32.
+        self._out_dtype = (jnp.dtype(transfer_dtype)
+                           if transfer_dtype is not None else None)
         self._rng = jax.random.PRNGKey(seed)
         self._needs_rng = bool(
             model.probabilistic
@@ -89,18 +103,24 @@ class InferenceSession:
         else:
             jit_rng = jit_det = {}
 
+        def _cast(out):
+            if self._out_dtype is None:
+                return out
+            return jax.tree.map(lambda a: a.astype(self._out_dtype), out)
+
         if self._needs_rng and self.mc_iter > 1:
             from .infer import mc_predict
 
             def run(params, x, rng):
-                return mc_predict(detect, params, x, rng,
-                                  num_samples=self.mc_iter,
-                                  reduce="mean_std")
+                return _cast(mc_predict(detect, params, x, rng,
+                                        num_samples=self.mc_iter,
+                                        reduce="mean_std"))
             self._fn = jax.jit(run, **jit_rng)
         elif self._needs_rng:
-            self._fn = jax.jit(lambda p, x, r: detect(p, x, rng=r), **jit_rng)
+            self._fn = jax.jit(
+                lambda p, x, r: _cast(detect(p, x, rng=r)), **jit_rng)
         else:
-            self._fn = jax.jit(lambda p, x: detect(p, x), **jit_det)
+            self._fn = jax.jit(lambda p, x: _cast(detect(p, x)), **jit_det)
 
     def __call__(self, batch):
         """Batch -> (probs, uncertainty | None), fp32 numpy.
@@ -229,7 +249,7 @@ class InferenceSession:
             tile_fn, full_spatial=stacked_shape[:-1], window=window,
             in_channels=stacked_shape[-1], out_channels=nc * out_mult,
             overlap=sw_overlap, cases=cases, rng_per_chunk=needs_rng,
-            mesh=sw_mesh)
+            mesh=sw_mesh, out_dtype=self._out_dtype)
         cache[ckey] = (run, out_mult)
         return cache[ckey]
 
@@ -328,8 +348,10 @@ def run(args) -> List[Dict]:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=int(args.DATA_PARALLEL))
+    tdt = getattr(args, "TRANSFER_DTYPE", "float32")
     session = InferenceSession(model, mc_iter=args.MC_ITER, seed=args.SEED,
-                               mesh=mesh)
+                               mesh=mesh,
+                               transfer_dtype=None if tdt == "float32" else tdt)
     window = tuple(model.input_spatial_dims)
     rows = read_manifest(args.MANIFEST)
 

@@ -144,6 +144,27 @@ def test_serve_mesh_sharded_sliding_window(tmp_path):
         np.testing.assert_allclose(gp, rp, atol=1e-5, rtol=1e-5)
 
 
+def test_serve_transfer_fp16(tmp_path):
+    """transfer_dtype='float16' casts outputs on device before the host
+    pull (the tunnel's D2H link is ~60x slower than H2D); results match
+    the fp32 session to fp16 quantization, on both the batched and the
+    sliding-window paths."""
+    tmp = str(tmp_path)
+    model = M1.load(_mk_model(tmp))
+    rng = np.random.default_rng(6)
+    batch = rng.normal(size=(2, *SPATIAL, 3)).astype(np.float32)
+    ref, _ = serve.InferenceSession(model)(batch)
+    got, _ = serve.InferenceSession(model, transfer_dtype="float16")(batch)
+    assert got.dtype == np.float32  # converted back host-side
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    big = rng.normal(size=(6, 24, 24, 3)).astype(np.float32)
+    ref_sw, _ = serve.InferenceSession(model).predict_case(big)
+    got_sw, _ = serve.InferenceSession(
+        model, transfer_dtype="float16").predict_case(big)
+    np.testing.assert_allclose(got_sw, ref_sw, atol=2e-3)
+
+
 def test_serve_cli_data_parallel(tmp_path):
     """--DATA_PARALLEL N drives the whole manifest through the sharded
     batched program."""
