@@ -103,10 +103,13 @@ class InferenceSession:
         else:
             jit_rng = jit_det = {}
 
+        odt = self._out_dtype  # bound once: the jitted closure must not
+                               # read mutable session state
+
         def _cast(out):
-            if self._out_dtype is None:
+            if odt is None:
                 return out
-            return jax.tree.map(lambda a: a.astype(self._out_dtype), out)
+            return jax.tree.map(lambda a: a.astype(odt), out)
 
         if self._needs_rng and self.mc_iter > 1:
             from .infer import mc_predict
@@ -236,10 +239,8 @@ class InferenceSession:
                     jax.random.split(key, mc))
                 return jnp.concatenate([s.mean(0), s.std(0)], axis=-1)
             out_mult = 2
-        elif needs_rng:
-            tile_fn, out_mult = fwd, 1
         else:
-            tile_fn, out_mult = (lambda tiles: fwd(tiles)), 1
+            tile_fn, out_mult = fwd, 1  # fwd(tiles) / fwd(tiles, rng)
 
         # K-case programs shard their case axis over the session mesh when
         # K divides its data dimension (whole-gland serving scale-out)
