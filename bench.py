@@ -128,6 +128,12 @@ def main():
         ([ext, "--only", "config5b"], 90, 10),
         ([ext, "--only", "config4b"], 120, 10),
     ]
+    # A worker has been observed to HARD-HANG on its first program (the
+    # tunnel wedges; observed round 2 and again round 3 — a full-budget
+    # hang yields a 0.0 headline). Hangs are process-state: a fresh process
+    # recovers. So cap each first attempt well below the global budget and
+    # retry once with whatever remains when a worker returns no JSON.
+    ATTEMPT_CAP_S = float(os.environ.get("BENCH_ATTEMPT_CAP_S", "480"))
     for argv, min_need, settle in plan:
         rem = _remaining()
         name = argv[-1] if argv[-1].startswith("config") else "core"
@@ -136,7 +142,13 @@ def main():
             continue
         if settle:
             time.sleep(settle)  # let the previous process release the device
-        detail.update(_run_worker(argv, timeout=max(_remaining(), 30)))
+        got = _run_worker(argv, timeout=max(min(_remaining(), ATTEMPT_CAP_S),
+                                            30))
+        if not got and _remaining() > min_need:
+            print(f"# retrying {name} in a fresh process", file=sys.stderr,
+                  flush=True)
+            got = _run_worker(argv, timeout=max(_remaining(), 30))
+        detail.update(got)
         _emit(detail, skipped)
 
     _emit(detail, skipped)

@@ -163,6 +163,9 @@ def main():
             bf16_points.append((batch, dt))
         if vps > best[0]:
             best = (vps, f"cfg1_{tag}")
+        # partial record after EVERY point: a later hard-hang (observed on
+        # this tunnel) must not void completed measurements
+        print(json.dumps(results), flush=True)
 
     _update_mfu()
     print(json.dumps(results), flush=True)
