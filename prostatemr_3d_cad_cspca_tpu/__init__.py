@@ -27,3 +27,4 @@ from . import losses  # noqa: F401
 from .models import M1, M1Core, m1  # noqa: F401
 from .infer import mc_predict, sliding_window_predict  # noqa: F401
 from .augment import AugmentParams, augment_batch  # noqa: F401
+from .ensemble import M1Ensemble, tta_detect  # noqa: F401

@@ -1,0 +1,176 @@
+"""Cross-validation fold ensembling and test-time augmentation (TTA).
+
+The reference trains one M1 per fold (train_model.py:101 ``for f in FOLDS``)
+and its deployed grand-challenge algorithm (reference README.md:6) serves the
+*ensemble* of fold members — but the public repo ships no ensembling code.
+This module provides it TPU-natively:
+
+  * ``M1Ensemble`` stacks the K fold checkpoints' parameter pytrees along a
+    leading member axis and ``jax.vmap``s the detect head over it, so all K
+    members run as ONE compiled program. On this toolchain a compiled program
+    execution pays a fixed ~170 ms device cost regardless of content
+    (docs/ROUND2_NOTES.md) — K separate member programs would pay it K times;
+    the vmapped ensemble pays it once, exactly the amortization lever that won
+    every round-2/3 measurement campaign.
+  * ``tta_detect`` fuses axial left-right-flip test-time augmentation into the
+    same program (the one label-symmetric geometric transform in this anatomy;
+    it is also the reference's train-time flip, augmentations.py:156-163):
+    predict(x) and unflip(predict(flip(x))) are averaged on device.
+
+``M1Ensemble`` duck-types the model surface ``serve.InferenceSession``
+consumes (``params``, ``get_detect_model``, ``cascaded``, ``probabilistic``,
+``num_classes``, ``input_spatial_dims``, ``input_channels``, ``config``), so
+fold-ensemble serving is ``--MODEL fold1.npz,fold2.npz,...`` — batched
+window-sized cases, K-case sliding windows, MC sampling and cascaded
+composition all compose with it unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+# W is axis -2 of (..., D, H, W, C) — the axial left-right axis flipped by
+# the reference's train-time h-flip (augmentations.py:156-163; our
+# augment.py flips the same axis). D/H flips are NOT label-symmetric for
+# prostate anatomy and are deliberately not offered as defaults.
+AXIAL_LR_AXIS = -2
+
+
+def stack_params(params_list: Sequence):
+    """Stack K same-structure parameter pytrees along a new leading axis."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *params_list)
+
+
+def tta_detect(detect_fn: Callable, flip_axes: Sequence[int] = (AXIAL_LR_AXIS,),
+               ) -> Callable:
+    """Wrap ``detect(params, inputs, rng=None)`` with flip-TTA.
+
+    Each axis in ``flip_axes`` doubles the prediction set: the input is
+    flipped, predicted, and the prediction flipped back; all 2**len(flip_axes)
+    views are averaged ON DEVICE inside the caller's program. Axes index the
+    per-case layout ``(..., D, H, W, C)`` from the right (so they are correct
+    with or without batch/sample leading axes); outputs share the input's
+    spatial layout, so the same index unflips them.
+
+    Works for cascaded models: tuple inputs are flipped element-wise and tuple
+    outputs unflipped element-wise (reference networks.py:111-112 two-exam
+    contract — both exams see the same geometric view).
+    """
+    flip_axes = tuple(int(a) for a in flip_axes)
+    for a in flip_axes:
+        assert a < -1, ("flip_axes index spatial dims from the right of "
+                        f"(..., D, H, W, C); got {a} (channel/batch axis)")
+
+    def _flip(tree, axes):
+        if not axes:
+            return tree
+        return jax.tree.map(
+            lambda x: jnp.flip(x, axis=[x.ndim + a for a in axes]), tree)
+
+    # all subsets of flip_axes = all 2**n views (identity included)
+    views = [()]
+    for a in flip_axes:
+        views += [v + (a,) for v in views]
+
+    def detect(params, inputs, rng: Optional[jax.Array] = None):
+        outs = None
+        for i, axes in enumerate(views):
+            r = None if rng is None else jax.random.fold_in(rng, i)
+            kw = {} if rng is None else {"rng": r}
+            out = _flip(detect_fn(params, _flip(inputs, axes), **kw), axes)
+            outs = out if outs is None else jax.tree.map(jnp.add, outs, out)
+        return jax.tree.map(lambda s: s / len(views), outs)
+
+    return detect
+
+
+class M1Ensemble:
+    """K fold members as one vmapped model (duck-types the ``M1`` surface).
+
+    All members must share an architecture config (they are folds of one
+    recipe, reference train_model.py:101-104); ``params`` is the stacked
+    pytree and ``get_detect_model()`` returns a detect head whose output is
+    the member-mean probability — one compiled program for the whole
+    ensemble. With an ``rng`` (probabilistic / MC-dropout members) each
+    member draws independent randomness via ``fold_in``; MC mean±std on top
+    of an ensemble (serve ``--MC_ITER k``) is then the std over k draws of
+    member-mean probabilities.
+
+    ``reduce=None`` keeps the stacked member axis (leading) for callers that
+    want member-level analysis (e.g. inter-member disagreement maps).
+    """
+
+    def __init__(self, models: Sequence, reduce: Optional[str] = "mean"):
+        assert len(models) >= 1
+        base = models[0]
+        arch_keys = [k for k in base.config
+                     if k not in ("seed", "summary", "init_params")]
+        for m in models[1:]:
+            diff = [k for k in arch_keys
+                    if m.config.get(k) != base.config.get(k)]
+            assert not diff, (
+                f"ensemble members disagree on architecture config: {diff}")
+        self.members = list(models)
+        self.num_members = len(models)
+        self.reduce = reduce
+        self.params = stack_params([m.params for m in models])
+        # duck-typed M1 surface (serve.InferenceSession contract)
+        self.config = dict(base.config)
+        self.cascaded = base.cascaded
+        self.probabilistic = base.probabilistic
+        self.num_classes = base.num_classes
+        self.input_spatial_dims = tuple(base.input_spatial_dims)
+        self.input_channels = base.input_channels
+        self._base = base
+
+    @classmethod
+    def load(cls, paths: Sequence[str], reduce: Optional[str] = "mean"):
+        """Load fold checkpoints saved by ``M1.save`` / the CLI WeightsSaver."""
+        from .models.m1 import M1
+
+        return cls([M1.load(p) for p in paths], reduce=reduce)
+
+    def get_detect_model(self) -> Callable:
+        """``detect(stacked_params, inputs, rng=None) -> member-mean probs``.
+
+        vmaps the single-member detect head (M1.get_detect_model,
+        models/m1.py) over the member axis of ``params`` — inputs broadcast,
+        per-member rng via fold_in — then averages on device. Cascaded
+        members return the reference's (stage-1, stage-2) tuple; each element
+        is member-averaged.
+        """
+        member_detect = self._base.get_detect_model()
+        k = self.num_members
+        reduce = self.reduce
+
+        def detect(params, inputs, rng: Optional[jax.Array] = None):
+            if rng is None:
+                stacked = jax.vmap(
+                    lambda p: member_detect(p, inputs))(params)
+            else:
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
+                stacked = jax.vmap(
+                    lambda p, r: member_detect(p, inputs, rng=r)
+                )(params, keys)
+            if reduce == "mean":
+                return jax.tree.map(lambda s: jnp.mean(s, axis=0), stacked)
+            if reduce == "mean_std":
+                return (jax.tree.map(lambda s: jnp.mean(s, axis=0), stacked),
+                        jax.tree.map(lambda s: jnp.std(s, axis=0), stacked))
+            return stacked
+
+        return detect
+
+    # --- convenience mirrors of the M1 predict surface ---------------------
+    def predict(self, inputs, rng: Optional[jax.Array] = None):
+        detect = self.get_detect_model()
+        needs_rng = (self.probabilistic
+                     or self.config.get("dropout_mode") == "monte-carlo")
+        if needs_rng and rng is None:
+            rng = jax.random.PRNGKey(0)
+        return detect(self.params, inputs, rng=rng) if needs_rng \
+            else detect(self.params, inputs)

@@ -34,7 +34,9 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="M1 batch inference driver")
     p.add_argument("--MODEL", type=str, required=True,
-                   help="checkpoint path (M1.save / CLI WeightsSaver output)")
+                   help="checkpoint path (M1.save / CLI WeightsSaver output); "
+                        "comma-separate K fold checkpoints to serve their "
+                        "ensemble as ONE vmapped program (ensemble.M1Ensemble)")
     p.add_argument("--MANIFEST", type=str, required=True,
                    help="csv/tsv/xlsx manifest with p-id,image_path columns")
     p.add_argument("--OUTPUT_DIR", type=str, required=True)
@@ -56,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device-side output cast before the host pull; "
                         "float16 halves transfer bytes (quantizes "
                         "probabilities by <=~5e-4)")
+    p.add_argument("--TTA", type=int, default=0,
+                   help="test-time augmentation: average predictions over "
+                        "the axial left-right flip (the reference's "
+                        "label-symmetric train-time flip, "
+                        "augmentations.py:156-163), fused into the same "
+                        "compiled program")
     return p
 
 
@@ -72,11 +80,12 @@ class InferenceSession:
     """
 
     def __init__(self, model, mc_iter: int = 1, seed: int = 0, mesh=None,
-                 transfer_dtype=None):
+                 transfer_dtype=None, tta: bool = False):
         import jax
         import jax.numpy as jnp
 
-        self.model = model
+        self.model = model  # an M1 or a duck-typed ensemble.M1Ensemble
+        self.tta = bool(tta)
         self.mc_iter = int(mc_iter)
         self.mesh = mesh
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
@@ -92,6 +101,11 @@ class InferenceSession:
             model.probabilistic
             or model.config.get("dropout_mode") == "monte-carlo")
         detect = model.get_detect_model()
+        if self.tta:  # flip-TTA fused into every program built below
+            from .ensemble import tta_detect
+
+            detect = tta_detect(detect)
+        self._detect = detect
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -224,7 +238,7 @@ class InferenceSession:
         casc = bool(self.model.cascaded)
         needs_rng = self._needs_rng
         mc = self.mc_iter if (needs_rng and self.mc_iter > 1) else 1
-        detect = self.model.get_detect_model()
+        detect = self._detect  # same (TTA/ensemble-wrapped) head as __call__
         params = self.model.params
 
         def fwd(tiles, rng=None):
@@ -343,7 +357,13 @@ def run(args) -> List[Dict]:
     from .train.metrics import extract_lesion_candidates
 
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
-    model = M1.load(args.MODEL)
+    paths = [p.strip() for p in str(args.MODEL).split(",") if p.strip()]
+    if len(paths) > 1:  # fold ensemble as ONE vmapped program
+        from .ensemble import M1Ensemble
+
+        model = M1Ensemble.load(paths)
+    else:
+        model = M1.load(paths[0])
     mesh = None
     if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
         from .parallel.mesh import make_mesh
@@ -352,7 +372,8 @@ def run(args) -> List[Dict]:
     tdt = getattr(args, "TRANSFER_DTYPE", "float32")
     session = InferenceSession(model, mc_iter=args.MC_ITER, seed=args.SEED,
                                mesh=mesh,
-                               transfer_dtype=None if tdt == "float32" else tdt)
+                               transfer_dtype=None if tdt == "float32" else tdt,
+                               tta=bool(getattr(args, "TTA", 0)))
     window = tuple(model.input_spatial_dims)
     rows = read_manifest(args.MANIFEST)
 
