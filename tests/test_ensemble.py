@@ -162,6 +162,21 @@ def _mk_manifest(tmp, shapes):
     return man
 
 
+def test_ensemble_on_data_parallel_mesh():
+    """Fold ensemble + data-parallel serving compose: the vmapped-member
+    program shards its batch axis over a Mesh(data=4) and matches the
+    single-device ensemble voxel-for-voxel (incl. a padded batch of 5)."""
+    from prostatemr_3d_cad_cspca_tpu.parallel.mesh import make_mesh
+
+    members = [_mk_model(seed=s) for s in (0, 1)]
+    ens = M1Ensemble(members)
+    batch = _batch(b=5, seed=10)
+    ref, _ = serve.InferenceSession(ens)(batch)
+    got, _ = serve.InferenceSession(ens, mesh=make_mesh(n_data=4))(batch)
+    assert got.shape == (5, *SPATIAL, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_serve_fold_ensemble_and_tta(tmp_path):
     """End-to-end: comma-separated --MODEL fold checkpoints + --TTA 1 serve
     through the batched AND sliding-window paths; batched outputs equal the
