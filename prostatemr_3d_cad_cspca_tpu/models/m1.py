@@ -382,6 +382,13 @@ class M1:
         return _fit(self, *args, **kwargs, **self._compiled)
 
     def predict(self, inputs, rng: Optional[jax.Array] = None):
+        # Keras-surface parity: the reference's predict needs no explicit
+        # RNG even for MC-dropout/probabilistic models (TF global RNG).
+        # Self-key when the model is stochastic, like __call__ above;
+        # pass ``rng`` for reproducible draws.
+        if rng is None and (self.probabilistic
+                            or self.config["dropout_mode"] == "monte-carlo"):
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         detect = self.get_detect_model()
         return detect(self.params, inputs, rng=rng)
 
