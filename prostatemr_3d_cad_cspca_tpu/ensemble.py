@@ -167,10 +167,12 @@ class M1Ensemble:
 
     # --- convenience mirrors of the M1 predict surface ---------------------
     def predict(self, inputs, rng: Optional[jax.Array] = None):
+        import numpy as np
+
         detect = self.get_detect_model()
         needs_rng = (self.probabilistic
                      or self.config.get("dropout_mode") == "monte-carlo")
-        if needs_rng and rng is None:
-            rng = jax.random.PRNGKey(0)
+        if needs_rng and rng is None:  # self-key like M1.predict
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         return detect(self.params, inputs, rng=rng) if needs_rng \
             else detect(self.params, inputs)

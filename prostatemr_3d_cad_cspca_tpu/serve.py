@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "label-symmetric train-time flip, "
                         "augmentations.py:156-163), fused into the same "
                         "compiled program")
+    p.add_argument("--TRANSFER_CHANNELS", type=str, default="all",
+                   choices=["all", "foreground"],
+                   help="'foreground' drops the softmax background channel "
+                        "on device and reconstructs it host-side as "
+                        "1 - sum(foreground) — exact, and another ~2x off "
+                        "the device->host transfer bytes (combine with "
+                        "--TRANSFER_DTYPE float16 for ~4x vs fp32 full)")
     return p
 
 
@@ -80,7 +87,8 @@ class InferenceSession:
     """
 
     def __init__(self, model, mc_iter: int = 1, seed: int = 0, mesh=None,
-                 transfer_dtype=None, tta: bool = False):
+                 transfer_dtype=None, tta: bool = False,
+                 transfer_channels: str = "all"):
         import jax
         import jax.numpy as jnp
 
@@ -96,6 +104,19 @@ class InferenceSession:
         # Default None keeps outputs bit-exact fp32.
         self._out_dtype = (jnp.dtype(transfer_dtype)
                            if transfer_dtype is not None else None)
+        # transfer_channels="foreground": drop the softmax BACKGROUND
+        # channel on device and reconstruct it host-side as
+        # 1 - sum(foreground). Exact for probabilities (the Gaussian blend
+        # is linear and normalizes all channels by the same per-voxel
+        # weight), and exact for MC std when num_classes == 2
+        # (std(1 - p) == std(p)); with more classes the background std is
+        # not derivable, so MC sessions fall back to full channels there.
+        self._fg_only = (str(transfer_channels) == "foreground")
+        if self._fg_only and model.num_classes > 2 and (
+                mc_iter > 1 and (model.probabilistic or
+                                 model.config.get("dropout_mode")
+                                 == "monte-carlo")):
+            self._fg_only = False  # background std not reconstructible
         self._rng = jax.random.PRNGKey(seed)
         self._needs_rng = bool(
             model.probabilistic
@@ -118,9 +139,11 @@ class InferenceSession:
             jit_rng = jit_det = {}
 
         odt = self._out_dtype  # bound once: the jitted closure must not
-                               # read mutable session state
+        fgo = self._fg_only    # read mutable session state
 
         def _cast(out):
+            if fgo:  # device-side background-channel drop before the pull
+                out = jax.tree.map(lambda a: a[..., 1:], out)
             if odt is None:
                 return out
             return jax.tree.map(lambda a: a.astype(odt), out)
@@ -167,11 +190,25 @@ class InferenceSession:
             mean, std = out
             if self.model.cascaded:  # final-stage detection + uncertainty
                 mean, std = mean[-1], std[-1]
-            return (np.asarray(mean, np.float32)[:b],
-                    np.asarray(std, np.float32)[:b])
+            return (self._unpack_mean(np.asarray(mean, np.float32))[:b],
+                    self._unpack_std(np.asarray(std, np.float32))[:b])
         if isinstance(out, tuple):  # cascaded: final-stage detection
             out = out[-1]
-        return np.asarray(out, np.float32)[:b], None
+        return self._unpack_mean(np.asarray(out, np.float32))[:b], None
+
+    # host-side inverses of the device-side foreground-channel drop
+    def _unpack_mean(self, fg: np.ndarray) -> np.ndarray:
+        if not self._fg_only:
+            return fg
+        bg = 1.0 - fg.sum(axis=-1, keepdims=True)
+        return np.concatenate([bg, fg], axis=-1)
+
+    def _unpack_std(self, fg: np.ndarray) -> np.ndarray:
+        if not self._fg_only:
+            return fg
+        # num_classes == 2 guaranteed by the __init__ fallback:
+        # std(1 - p) == std(p)
+        return np.concatenate([fg, fg], axis=-1)
 
     def predict_case(self, volume, sw_overlap: float = 0.5):
         """One whole case; sliding-window when oversized.
@@ -205,10 +242,17 @@ class InferenceSession:
             out = np.asarray(run(jnp.asarray(stacked), sub), np.float32)
         else:
             out = np.asarray(run(jnp.asarray(stacked)), np.float32)
-        nc = self.model.num_classes
+        return self._split_sw(out, out_mult)
+
+    def _split_sw(self, out: np.ndarray, out_mult: int):
+        """Split a sliding-window output block into (probs, std | None),
+        reconstructing the background channel if the program transferred
+        foreground channels only."""
+        ncp = self.model.num_classes - (1 if self._fg_only else 0)
         if out_mult == 2:
-            return out[..., :nc], out[..., nc:]
-        return out, None
+            return (self._unpack_mean(out[..., :ncp]),
+                    self._unpack_std(out[..., ncp:]))
+        return self._unpack_mean(out), None
 
     def _sw_program(self, stacked_shape, sw_overlap: float, cases: int):
         """Cached one-program sliding window for this model class.
@@ -241,12 +285,19 @@ class InferenceSession:
         detect = self._detect  # same (TTA/ensemble-wrapped) head as __call__
         params = self.model.params
 
+        fgo = self._fg_only
+
         def fwd(tiles, rng=None):
             inp = (tiles[..., :c], tiles[..., c:]) if casc else tiles
             out = detect(params, inp, rng=rng) if needs_rng \
                 else detect(params, inp)
-            return out[-1] if casc else out  # cascaded: final-stage detection
+            out = out[-1] if casc else out  # cascaded: final-stage detection
+            # foreground-only transfer: the blend is linear and channel-
+            # uniform, so dropping background BEFORE blending commutes with
+            # the host-side 1-sum reconstruction
+            return out[..., 1:] if fgo else out
 
+        ncp = nc - (1 if fgo else 0)
         if needs_rng and mc > 1:
             def tile_fn(tiles, key):
                 s = jax.vmap(lambda k: fwd(tiles, k))(
@@ -262,7 +313,7 @@ class InferenceSession:
                                  and cases % self._n_data == 0) else None)
         run = make_sliding_window_fn(
             tile_fn, full_spatial=stacked_shape[:-1], window=window,
-            in_channels=stacked_shape[-1], out_channels=nc * out_mult,
+            in_channels=stacked_shape[-1], out_channels=ncp * out_mult,
             overlap=sw_overlap, cases=cases, rng_per_chunk=needs_rng,
             mesh=sw_mesh, out_dtype=self._out_dtype)
         cache[ckey] = (run, out_mult)
@@ -303,7 +354,6 @@ class InferenceSession:
                     ((k + self._n_data - 1) // self._n_data) * self._n_data)
         run_k, out_mult = self._sw_program(tuple(stacked[0].shape),
                                            float(sw_overlap), cases=k)
-        nc = self.model.num_classes
         out: List[tuple] = []
         for i in range(0, len(stacked), k):
             group = stacked[i:i + k]
@@ -314,11 +364,8 @@ class InferenceSession:
                 probs = np.asarray(run_k(block, sub), np.float32)
             else:
                 probs = np.asarray(run_k(block), np.float32)
-            for j in range(len(group)):
-                if out_mult == 2:
-                    out.append((probs[j][..., :nc], probs[j][..., nc:]))
-                else:
-                    out.append((probs[j], None))
+            out.extend(self._split_sw(probs[j], out_mult)
+                       for j in range(len(group)))
         return out
 
 
@@ -373,7 +420,9 @@ def run(args) -> List[Dict]:
     session = InferenceSession(model, mc_iter=args.MC_ITER, seed=args.SEED,
                                mesh=mesh,
                                transfer_dtype=None if tdt == "float32" else tdt,
-                               tta=bool(getattr(args, "TTA", 0)))
+                               tta=bool(getattr(args, "TTA", 0)),
+                               transfer_channels=getattr(
+                                   args, "TRANSFER_CHANNELS", "all"))
     window = tuple(model.input_spatial_dims)
     rows = read_manifest(args.MANIFEST)
 

@@ -275,6 +275,85 @@ def test_serve_cascaded_second_exam_column(tmp_path):
     assert not np.allclose(probs, same, atol=1e-6)
 
 
+def test_serve_transfer_foreground_only(tmp_path):
+    """transfer_channels='foreground' drops the softmax background channel
+    on device and reconstructs it host-side (1 - sum(foreground); std
+    duplicated for 2 classes) — exact on the batched, MC, sliding-window
+    and cascaded paths."""
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(8)
+    batch = rng.normal(size=(2, *SPATIAL, 3)).astype(np.float32)
+    big = rng.normal(size=(6, 24, 24, 3)).astype(np.float32)
+
+    det = M1.load(_mk_model(tmp))
+    ref, _ = serve.InferenceSession(det)(batch)
+    got, _ = serve.InferenceSession(det, transfer_channels="foreground")(batch)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    ref_sw, _ = serve.InferenceSession(det).predict_case(big)
+    got_sw, _ = serve.InferenceSession(
+        det, transfer_channels="foreground").predict_case(big)
+    np.testing.assert_allclose(got_sw, ref_sw, atol=1e-5, rtol=1e-5)
+
+    mc = M1.load(_mk_model(tmp, dropout_mode="monte-carlo", dropout_rate=0.5))
+    rm, rs = serve.InferenceSession(mc, mc_iter=3, seed=7)(batch)
+    gm, gs = serve.InferenceSession(
+        mc, mc_iter=3, seed=7, transfer_channels="foreground")(batch)
+    np.testing.assert_allclose(gm, rm, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(gs, rs, atol=1e-5, rtol=1e-5)
+
+    # MC K-case sliding-window group
+    sess_f = serve.InferenceSession(mc, mc_iter=3, seed=7,
+                                    transfer_channels="foreground")
+    sess_r = serve.InferenceSession(mc, mc_iter=3, seed=7)
+    refs = sess_r.predict_cases([big, big], group_size=2)
+    gots = sess_f.predict_cases([big, big], group_size=2)
+    for (rp, ru), (gp, gu) in zip(refs, gots):
+        np.testing.assert_allclose(gp, rp, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(gu, ru, atol=1e-5, rtol=1e-5)
+
+    casc = M1.load(_mk_model(tmp, cascaded="noisy-or"))
+    rc, _ = serve.InferenceSession(casc)(batch)
+    gc, _ = serve.InferenceSession(
+        casc, transfer_channels="foreground")(batch)
+    np.testing.assert_allclose(gc, rc, atol=1e-5, rtol=1e-5)
+
+
+def test_serve_transfer_foreground_multiclass(tmp_path):
+    """3-class (zonal-style) models: foreground-only mean reconstruction is
+    exact; MC sessions must silently fall back to full channels (the
+    background std is not derivable for >2 classes)."""
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(11)
+    batch = rng.normal(size=(2, *SPATIAL, 1)).astype(np.float32)
+
+    model = M1(
+        input_spatial_dims=SPATIAL, input_channels=1, num_classes=3,
+        filters=(4, 8, 12, 16, 24),
+        strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        se_reduction=(2, 2, 2, 2, 2), att_sub_samp=((1, 1, 1),) * 4,
+        dropout_rate=0.0, dropout_mode="standard", summary=False)
+    ref, _ = serve.InferenceSession(model)(batch)
+    got, _ = serve.InferenceSession(
+        model, transfer_channels="foreground")(batch)
+    assert got.shape == (2, *SPATIAL, 3)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    mc3 = M1(
+        input_spatial_dims=SPATIAL, input_channels=1, num_classes=3,
+        filters=(4, 8, 12, 16, 24),
+        strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        se_reduction=(2, 2, 2, 2, 2), att_sub_samp=((1, 1, 1),) * 4,
+        dropout_rate=0.5, dropout_mode="monte-carlo", summary=False)
+    sess = serve.InferenceSession(mc3, mc_iter=2,
+                                  transfer_channels="foreground")
+    assert not sess._fg_only  # fell back: 3-class std not reconstructible
+    m, s = sess(batch)
+    assert m.shape == (2, *SPATIAL, 3) and s.shape == (2, *SPATIAL, 3)
+
+
 def test_serve_mc_uncertainty(tmp_path):
     tmp = str(tmp_path)
     model_path = _mk_model(tmp, dropout_mode="monte-carlo", dropout_rate=0.5)
