@@ -1,0 +1,269 @@
+"""AOT export: self-contained serialized inference artifacts.
+
+The reference deploys its trained models as a grand-challenge algorithm
+container (reference README.md:6) — the TF graph plus H5 weights frozen
+into an opaque runtime image. The TPU-native equivalent is ``jax.export``:
+the full detect program (including Monte-Carlo sampling, flip-TTA,
+fold-ensemble vmap and cascaded composition) is lowered once to StableHLO
+with the trained weights baked in as constants, and serialized to ONE
+portable file. Deployment then needs NO model code, NO Flax and NO
+retracing — just ``ExportedModel.load(path).predict(x)`` on any machine
+with jax and a plugin for a platform chosen at export time (default:
+tpu AND cpu in the same artifact). The batch dimension is symbolic by
+default, so one artifact serves any batch size.
+
+Artifact format — a zip archive containing:
+  ``program.bin``  jax.export-serialized StableHLO module (versioned ABI,
+                   weights inlined as constants)
+  ``meta.json``    I/O contract: input signature, rng convention,
+                   mc_iter/TTA/ensemble provenance, output layout, and the
+                   architecture config of the exporting model.
+
+Output contract mirrors ``serve.InferenceSession``:
+  deterministic          probs                       (B,D,H,W,nc)
+  stochastic, mc_iter=1  probs (one posterior draw)  (B,D,H,W,nc)
+  stochastic, mc_iter>1  (mean, std) over draws      2x(B,D,H,W,nc)
+  cascaded               final-stage detection only, exams stacked on the
+                         channel axis of the single input array
+                         (reference networks.py:111-112 two-exam contract).
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from typing import Optional, Sequence
+
+__all__ = ["export_model", "ExportedModel"]
+
+_FORMAT_VERSION = 1
+
+
+def _detect_head(model, mc_iter: int, tta: bool):
+    """Close the detect program over the trained params.
+
+    Returns ``(fn, needs_rng)`` where ``fn`` takes ONE stacked input array
+    (cascaded exams concatenated on channels, same convention as the
+    sliding-window program in serve.py) and, when ``needs_rng``, a raw
+    uint32[2] PRNG key.
+    """
+    import jax
+
+    detect = model.get_detect_model()
+    if tta:
+        from .ensemble import tta_detect
+
+        detect = tta_detect(detect)
+    casc = bool(model.cascaded)
+    c = int(model.input_channels)
+    params = model.params
+    needs_rng = bool(
+        model.probabilistic
+        or model.config.get("dropout_mode") == "monte-carlo")
+
+    def _split(x):
+        return (x[..., :c], x[..., c:]) if casc else x
+
+    if needs_rng and mc_iter > 1:
+        from .infer import mc_predict
+
+        def fn(x, rng):
+            mean, std = mc_predict(detect, params, _split(x), rng,
+                                   num_samples=mc_iter, reduce="mean_std")
+            if casc:  # final-stage detection + uncertainty
+                mean, std = mean[-1], std[-1]
+            return mean, std
+    elif needs_rng:
+        def fn(x, rng):
+            out = detect(params, _split(x), rng=rng)
+            return out[-1] if casc else out
+    else:
+        def fn(x):
+            out = detect(params, _split(x))
+            return out[-1] if casc else out
+    return fn, needs_rng
+
+
+def export_model(
+    model,
+    path: str,
+    *,
+    mc_iter: int = 1,
+    tta: bool = False,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    batch: Optional[int] = None,
+    transfer_dtype: Optional[str] = None,
+) -> str:
+    """Serialize ``model``'s inference program (weights included) to ``path``.
+
+    model: an ``M1`` or ``ensemble.M1Ensemble`` (any class: deterministic,
+        MC-dropout, probabilistic, cascaded).
+    mc_iter: >1 bakes mean/std Monte-Carlo aggregation into the program
+        (stochastic models only).
+    tta: fuse axial flip test-time augmentation (ensemble.tta_detect).
+    platforms: lowering targets; the artifact runs on ANY of them.
+    batch: fixed batch size, or None for a symbolic batch dimension
+        (one artifact, any batch).
+    transfer_dtype: e.g. "float16" — cast outputs inside the program
+        (serve's device->host transfer-slimming; quantizes probabilities
+        by <=~5e-4).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    head, needs_rng = _detect_head(model, mc_iter, tta)
+    if transfer_dtype is not None:
+        odt = jnp.dtype(transfer_dtype)
+        base = head
+        if needs_rng:
+            def head(x, rng):  # noqa: F811 — cast wrapper
+                return jax.tree.map(lambda a: a.astype(odt), base(x, rng))
+        else:
+            def head(x):  # noqa: F811
+                return jax.tree.map(lambda a: a.astype(odt), base(x))
+
+    spatial = tuple(int(d) for d in model.input_spatial_dims)
+    cin = int(model.input_channels) * (2 if model.cascaded else 1)
+    if batch is None:
+        bdims = jexport.symbolic_shape("b")
+    else:
+        bdims = (int(batch),)
+    x_spec = jax.ShapeDtypeStruct((*bdims, *spatial, cin), jnp.float32)
+    args = (x_spec,)
+    if needs_rng:
+        args += (jax.ShapeDtypeStruct((2,), jnp.uint32),)
+
+    exported = jexport.export(jax.jit(head), platforms=tuple(platforms))(*args)
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "platforms": list(platforms),
+        "input_spatial_dims": list(spatial),
+        "input_channels": cin,
+        "batch": batch,  # null -> symbolic
+        "needs_rng": needs_rng,
+        "mc_iter": int(mc_iter),
+        "tta": bool(tta),
+        "num_classes": int(model.num_classes),
+        "cascaded": bool(model.cascaded),
+        "probabilistic": bool(model.probabilistic),
+        "num_members": int(getattr(model, "num_members", 1)),
+        "output": ("mean_std" if (needs_rng and mc_iter > 1) else "probs"),
+        "transfer_dtype": transfer_dtype,
+        "config": {k: v for k, v in model.config.items()
+                   if k not in ("init_params",)},
+    }
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("program.bin", exported.serialize())
+        z.writestr("meta.json", json.dumps(meta, indent=1, default=str))
+    import os
+
+    os.replace(tmp, path)  # atomic, same contract as utils.serialization
+    return path
+
+
+class ExportedModel:
+    """Runtime wrapper over a serialized artifact — no model code needed.
+
+    ``predict(x, rng=None)`` matches ``serve.InferenceSession.__call__``
+    semantics: fp32 numpy ``probs`` or ``(mean, std)``; stochastic programs
+    self-advance an internal PRNG key when ``rng`` is omitted.
+    """
+
+    def __init__(self, exported, meta: dict, seed: int = 0):
+        import jax
+
+        self._exp = exported
+        self.meta = dict(meta)
+        self.needs_rng = bool(meta["needs_rng"])
+        self.num_classes = int(meta["num_classes"])
+        self.mc_iter = int(meta["mc_iter"])
+        self._rng = jax.random.PRNGKey(seed)
+
+    @classmethod
+    def load(cls, path: str, seed: int = 0) -> "ExportedModel":
+        from jax import export as jexport
+
+        with zipfile.ZipFile(path, "r") as z:
+            meta = json.loads(z.read("meta.json"))
+            exported = jexport.deserialize(bytearray(z.read("program.bin")))
+        return cls(exported, meta, seed=seed)
+
+    def predict(self, x, rng=None):
+        import jax
+        import numpy as np
+
+        x = np.asarray(x, np.float32)
+        fixed = self.meta.get("batch")
+        if fixed is not None and x.shape[0] != fixed:
+            raise ValueError(
+                f"artifact was exported with fixed batch {fixed}; "
+                f"got batch {x.shape[0]} (export with batch=None for a "
+                "symbolic batch dimension)")
+        if self.needs_rng:
+            if rng is None:
+                self._rng, rng = jax.random.split(self._rng)
+            out = self._exp.call(x, np.asarray(rng, np.uint32))
+        else:
+            out = self._exp.call(x)
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o, np.float32) for o in out)
+        return np.asarray(out, np.float32)
+
+    __call__ = predict
+
+
+def build_parser():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        "prostatemr_3d_cad_cspca_tpu.export",
+        description="Freeze a trained checkpoint (or a comma-separated fold "
+                    "ensemble) into one self-contained serialized inference "
+                    "artifact (StableHLO + weights).")
+    p.add_argument("--MODEL", type=str, required=True,
+                   help="checkpoint path; comma-separate K fold checkpoints "
+                        "to bake the whole vmapped ensemble into the artifact")
+    p.add_argument("--OUT", type=str, required=True,
+                   help="output artifact path (.zip)")
+    p.add_argument("--MC_ITER", type=int, default=1)
+    p.add_argument("--TTA", type=int, default=0)
+    p.add_argument("--PLATFORMS", type=str, nargs="+",
+                   default=["tpu", "cpu"])
+    p.add_argument("--BATCH", type=int, default=0,
+                   help="fixed batch size; 0 = symbolic (any batch)")
+    p.add_argument("--TRANSFER_DTYPE", type=str, default="float32",
+                   choices=["float32", "float16", "bfloat16"])
+    return p
+
+
+def main(argv=None) -> str:
+    import os
+
+    args = build_parser().parse_args(argv)
+    paths = [s for s in args.MODEL.split(",") if s]
+    if len(paths) > 1:
+        from .ensemble import M1Ensemble
+
+        model = M1Ensemble.load(paths)
+    else:
+        from .models.m1 import M1
+
+        model = M1.load(paths[0])
+    tdt = args.TRANSFER_DTYPE
+    out = export_model(
+        model, args.OUT, mc_iter=args.MC_ITER, tta=bool(args.TTA),
+        platforms=tuple(args.PLATFORMS),
+        batch=(args.BATCH or None),
+        transfer_dtype=None if tdt == "float32" else tdt)
+    size = os.path.getsize(out)
+    print(f"Exported {args.MODEL} -> {out} "
+          f"({size / 1e6:.1f} MB, platforms={args.PLATFORMS}, "
+          f"batch={'symbolic' if not args.BATCH else args.BATCH}, "
+          f"mc_iter={args.MC_ITER}, tta={bool(args.TTA)})")
+    return out
+
+
+if __name__ == "__main__":
+    main()

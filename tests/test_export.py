@@ -1,0 +1,151 @@
+"""AOT export tests (export.py): checkpoint -> serialized StableHLO artifact
+-> model-code-free inference.
+
+The reference ships trained models inside a grand-challenge container
+(reference README.md:6); export.py freezes the same contract into one
+portable jax.export artifact. Covers: every model class (deterministic,
+MC-dropout, probabilistic, cascaded, fold ensemble), symbolic vs fixed
+batch, rng determinism, output parity vs the live model, and the CLI.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+import pytest
+
+from prostatemr_3d_cad_cspca_tpu import export as exp
+from prostatemr_3d_cad_cspca_tpu.models import M1
+
+pytestmark = pytest.mark.slow  # compile-heavy full-model tier
+
+SPATIAL = (4, 16, 16)
+
+
+def _mk_model(tmp_path, **kw):
+    kw.setdefault("dropout_rate", 0.0)
+    kw.setdefault("dropout_mode", "standard")
+    kw.setdefault("input_channels", 3)
+    model = M1(
+        input_spatial_dims=SPATIAL, num_classes=2,
+        filters=(4, 8, 12, 16, 24),
+        strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        se_reduction=(2, 2, 2, 2, 2), att_sub_samp=((1, 1, 1),) * 4,
+        summary=False, **kw)
+    path = os.path.join(tmp_path, "model.npz")
+    model.save(path)
+    return model, path
+
+
+def test_export_deterministic_symbolic_batch(tmp_path):
+    tmp = str(tmp_path)
+    model, _ = _mk_model(tmp)
+    art = os.path.join(tmp, "m1.zip")
+    exp.export_model(model, art, platforms=("cpu",))
+
+    loaded = exp.ExportedModel.load(art)
+    assert not loaded.needs_rng and loaded.num_classes == 2
+
+    rng = np.random.default_rng(0)
+    for b in (1, 3):  # symbolic batch: one artifact, any batch
+        x = rng.normal(size=(b, *SPATIAL, 3)).astype(np.float32)
+        got = loaded.predict(x)
+        ref = np.asarray(model.predict(x), np.float32)
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_export_fixed_batch_and_transfer_dtype(tmp_path):
+    tmp = str(tmp_path)
+    model, _ = _mk_model(tmp)
+    art = os.path.join(tmp, "m1_b2.zip")
+    exp.export_model(model, art, platforms=("cpu",), batch=2,
+                     transfer_dtype="float16")
+    loaded = exp.ExportedModel.load(art)
+
+    x = np.random.default_rng(1).normal(size=(2, *SPATIAL, 3)) \
+        .astype(np.float32)
+    got = loaded.predict(x)
+    ref = np.asarray(model.predict(x), np.float32)
+    assert got.dtype == np.float32  # host-side fp32, fp16 on the wire
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    with pytest.raises(ValueError, match="fixed batch 2"):
+        loaded.predict(x[:1])
+
+
+def test_export_mc_dropout_mean_std(tmp_path):
+    tmp = str(tmp_path)
+    model, _ = _mk_model(tmp, dropout_mode="monte-carlo", dropout_rate=0.5)
+    art = os.path.join(tmp, "mc.zip")
+    exp.export_model(model, art, platforms=("cpu",), mc_iter=3)
+    loaded = exp.ExportedModel.load(art)
+    assert loaded.meta["output"] == "mean_std"
+
+    x = np.random.default_rng(2).normal(size=(2, *SPATIAL, 3)) \
+        .astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    mean, std = loaded.predict(x, rng=key)
+    assert mean.shape == (2, *SPATIAL, 2) and std.shape == mean.shape
+    # same key -> identical draw; mirrors serve's mc_predict composition
+    from prostatemr_3d_cad_cspca_tpu.infer import mc_predict
+
+    rm, rs = mc_predict(model.get_detect_model(), model.params, x, key,
+                        num_samples=3, reduce="mean_std")
+    np.testing.assert_allclose(mean, np.asarray(rm, np.float32), atol=1e-5)
+    np.testing.assert_allclose(std, np.asarray(rs, np.float32), atol=1e-5)
+    # self-advancing internal key: two rng-free calls differ
+    a, _ = loaded.predict(x)
+    b, _ = loaded.predict(x)
+    assert not np.allclose(a, b, atol=1e-6)
+
+
+def test_export_probabilistic_and_cascaded(tmp_path):
+    tmp = str(tmp_path)
+    # probabilistic input = image + num_classes-1 label channels
+    # (reference data_generators.py:77-84)
+    prob, _ = _mk_model(tmp, probabilistic=True, input_channels=4,
+                        prob_latent_dims=(2, 1, 0, 0))
+    art = os.path.join(tmp, "prob.zip")
+    exp.export_model(prob, art, platforms=("cpu",))
+    loaded = exp.ExportedModel.load(art)
+    x = np.random.default_rng(3).normal(
+        size=(2, *SPATIAL, 4)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    got = loaded.predict(x, rng=key)
+    ref = np.asarray(prob.predict(x, rng=key), np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    casc, _ = _mk_model(tmp, cascaded="noisy-or")
+    cart = os.path.join(tmp, "casc.zip")
+    exp.export_model(casc, cart, platforms=("cpu",))
+    cl = exp.ExportedModel.load(cart)
+    xc = np.random.default_rng(4).normal(size=(2, *SPATIAL, 6)) \
+        .astype(np.float32)
+    got = cl.predict(xc)  # stacked two-exam channels, final-stage output
+    ref = casc.get_detect_model()(
+        casc.params, (xc[..., :3], xc[..., 3:]))[-1]
+    np.testing.assert_allclose(got, np.asarray(ref, np.float32), atol=1e-5)
+
+
+def test_export_cli_ensemble_with_tta(tmp_path):
+    tmp = str(tmp_path)
+    d1, d2 = os.path.join(tmp, "f1"), os.path.join(tmp, "f2")
+    os.mkdir(d1)
+    os.mkdir(d2)
+    _, p1 = _mk_model(d1)
+    _, p2 = _mk_model(d2)
+    art = os.path.join(tmp, "ens.zip")
+    out = exp.main(["--MODEL", f"{p1},{p2}", "--OUT", art,
+                    "--PLATFORMS", "cpu", "--TTA", "1"])
+    loaded = exp.ExportedModel.load(out)
+    assert loaded.meta["num_members"] == 2 and loaded.meta["tta"]
+
+    from prostatemr_3d_cad_cspca_tpu.ensemble import M1Ensemble, tta_detect
+
+    ens = M1Ensemble.load([p1, p2])
+    x = np.random.default_rng(6).normal(size=(2, *SPATIAL, 3)) \
+        .astype(np.float32)
+    got = loaded.predict(x)
+    ref = tta_detect(ens.get_detect_model())(ens.params, x)
+    np.testing.assert_allclose(got, np.asarray(ref, np.float32), atol=1e-5)
