@@ -38,7 +38,8 @@ def whitening(image: np.ndarray, percentile: Optional[float] = None) -> np.ndarr
     image = np.asarray(image, dtype=np.float32)
     if percentile is not None:
         lo, hi = np.percentile(image, [100 - percentile, percentile])
-        image = np.clip(image, lo, hi)
+        # keep fp32: np.clip with float64 scalar bounds promotes (NEP 50)
+        image = np.clip(image, lo, hi).astype(np.float32, copy=False)
     std = image.std()
     if std == 0:
         return np.zeros_like(image)
@@ -136,6 +137,43 @@ def resize_image_with_crop_or_pad(
     crop = tuple(sl for sl, _ in fits)
     pad = [p for _, p in fits] + [(0, 0)] * (image.ndim - len(img_size))
     return np.pad(image[crop], pad, **kwargs)
+
+
+def resample_volume(
+    volume: np.ndarray,
+    in_spacing: Sequence[float],
+    out_spacing: Sequence[float],
+    is_label: bool = False,
+) -> np.ndarray:
+    """Spacing-resample a raw numpy volume — the SimpleITK-free twin of
+    ``resample_img`` (reference preprocess.py:52-71 semantics: target size
+    ``round(extent * in/out)`` per axis, spline interpolation for images,
+    nearest-neighbor for label maps).
+
+    volume: (D, H, W) or (D, H, W, C); spacings are per spatial axis in the
+    same (D, H, W) order. Cubic-spline image interpolation
+    (scipy.ndimage.zoom order=3) stands in for SimpleITK's sitkBSpline;
+    labels use order=0 so class ids are never blended.
+    """
+    from scipy import ndimage
+
+    volume = np.asarray(volume)
+    in_spacing = tuple(float(s) for s in in_spacing)
+    out_spacing = tuple(float(s) for s in out_spacing)
+    assert len(in_spacing) == len(out_spacing) == 3
+    new_size = [
+        int(np.round(extent * (sp / target)))
+        for extent, sp, target in zip(volume.shape[:3], in_spacing, out_spacing)
+    ]
+    zoom = [n / e for n, e in zip(new_size, volume.shape[:3])]
+    if volume.ndim == 4:  # channel axis untouched
+        zoom = zoom + [1.0]
+    order = 0 if is_label else 3
+    out = ndimage.zoom(volume, zoom, order=order,
+                       mode="nearest", grid_mode=True)
+    # zoom() rounds sizes itself; enforce the reference's size formula
+    assert list(out.shape[:3]) == new_size, (out.shape, new_size)
+    return out.astype(volume.dtype if is_label else np.float32)
 
 
 # ------------------------------------------------------------------ jnp twins

@@ -1,0 +1,126 @@
+"""Ingest driver tests (data/ingest.py): raw volumes -> preprocessed feed
+-> fold manifests consumable by the training CLI.
+
+The reference ships preprocessing functions but no driver (its feed xlsx
+files point at already-processed volumes); ingest.py is that missing
+driver. Fast tier: numpy only, no model compiles.
+"""
+
+import csv
+import os
+
+import numpy as np
+
+from prostatemr_3d_cad_cspca_tpu.data import ingest
+from prostatemr_3d_cad_cspca_tpu.data.manifest import read_manifest
+from prostatemr_3d_cad_cspca_tpu.data.preprocess import resample_volume
+
+
+def _mk_raw(tmp, n=6, shape=(10, 40, 40), spacing=None, npz=False):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        ip = os.path.join(tmp, f"raw{i}_img" + (".npz" if npz else ".npy"))
+        lp = os.path.join(tmp, f"raw{i}_lab.npy")
+        zp = os.path.join(tmp, f"raw{i}_zon.npy")
+        img = rng.normal(size=(*shape, 3)).astype(np.float32) * 50 + 200
+        lab = np.zeros(shape, np.uint8)
+        lab[4:6, 10:22, 10:22] = 2
+        zon = (lab > 0).astype(np.uint8)
+        if npz:
+            np.savez(ip, image=img, spacing=np.asarray(spacing, np.float32))
+        else:
+            np.save(ip, img)
+        np.save(lp, lab)
+        np.save(zp, zon)
+        row = {"p-id": f"raw{i}", "image_path": ip, "label_path": lp,
+               "zones_path": zp}
+        if spacing is not None and not npz:
+            row["spacing"] = "x".join(str(s) for s in spacing)
+        rows.append(row)
+    man = os.path.join(tmp, "raw.csv")
+    with open(man, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+    return man
+
+
+def test_resample_volume_semantics():
+    rng = np.random.default_rng(1)
+    vol = rng.normal(size=(8, 20, 20)).astype(np.float32)
+    out = resample_volume(vol, (3.0, 1.0, 1.0), (3.0, 0.5, 0.5))
+    # reference size formula: round(extent * in/out) per axis
+    assert out.shape == (8, 40, 40)
+    # constant fields are resampling-invariant
+    const = resample_volume(np.full((6, 10, 10), 7.0, np.float32),
+                            (3.0, 1.0, 1.0), (2.0, 0.5, 0.5))
+    np.testing.assert_allclose(const, 7.0, atol=1e-4)
+    # labels: nearest-neighbor keeps the class-id set intact
+    lab = np.zeros((6, 10, 10), np.uint8)
+    lab[2:4, 3:7, 3:7] = 2
+    rl = resample_volume(lab, (3.0, 1.0, 1.0), (1.5, 0.5, 0.5),
+                         is_label=True)
+    assert rl.shape == (12, 20, 20) and rl.dtype == np.uint8
+    assert set(np.unique(rl)) == {0, 2}
+    # multi-channel: channel axis untouched
+    mc = resample_volume(rng.normal(size=(4, 8, 8, 3)).astype(np.float32),
+                         (1.0, 1.0, 1.0), (1.0, 0.5, 0.5))
+    assert mc.shape == (4, 16, 16, 3)
+
+
+def test_ingest_end_to_end_fold_manifests(tmp_path):
+    tmp = str(tmp_path)
+    man = _mk_raw(tmp, n=6)
+    out = os.path.join(tmp, "feed")
+    written = ingest.main(["--MANIFEST", man, "--OUTPUT_DIR", out,
+                           "--SIZE", "8", "32", "32", "--FOLDS", "3"])
+    assert len(written) == 6  # 3 folds x train+valid
+    pids_seen = set()
+    for f in (1, 2, 3):
+        tr = read_manifest(os.path.join(out, f"train-fold-{f}.csv"))
+        va = read_manifest(os.path.join(out, f"valid-fold-{f}.csv"))
+        assert len(tr) == 4 and len(va) == 2
+        assert not {r["p-id"] for r in tr} & {r["p-id"] for r in va}
+        pids_seen |= {r["p-id"] for r in va}
+    assert len(pids_seen) == 6  # every case held out exactly once
+
+    row = read_manifest(os.path.join(out, "train-fold-1.csv"))[0]
+    img = np.load(row["image_path"])
+    lab = np.load(row["label_path"])
+    zon = np.load(row["zones_path"])
+    assert img.shape == (8, 32, 32, 3) and img.dtype == np.float32
+    assert lab.shape == (8, 32, 32) and set(np.unique(lab)) <= {0, 2}
+    assert zon.shape == (8, 32, 32)
+    # per-channel whitening: each sequence ~zero-mean (crop kept all voxels
+    # of the padded region too, so just sanity-bound the scale)
+    assert abs(float(img.mean())) < 1.0 and 0.1 < float(img.std()) < 2.0
+
+
+def test_ingest_with_resampling_spacing_column(tmp_path):
+    tmp = str(tmp_path)
+    man = _mk_raw(tmp, n=2, shape=(10, 20, 20), spacing=(3.0, 1.0, 1.0))
+    out = os.path.join(tmp, "feed")
+    ingest.main(["--MANIFEST", man, "--OUTPUT_DIR", out,
+                 "--SIZE", "10", "40", "40",
+                 "--SPACING", "3.0", "0.5", "0.5", "--FOLDS", "0"])
+    rows = read_manifest(os.path.join(out, "cases.csv"))
+    assert len(rows) == 2
+    img = np.load(rows[0]["image_path"])
+    lab = np.load(rows[0]["label_path"])
+    # (10,20,20)@(3,1,1)mm -> (10,40,40)@(3,.5,.5)mm: no crop/pad needed
+    assert img.shape == (10, 40, 40, 3)
+    assert lab.shape == (10, 40, 40) and set(np.unique(lab)) == {0, 2}
+
+
+def test_ingest_npz_embedded_spacing(tmp_path):
+    tmp = str(tmp_path)
+    man = _mk_raw(tmp, n=2, shape=(6, 16, 16), spacing=(3.0, 1.0, 1.0),
+                  npz=True)
+    out = os.path.join(tmp, "feed")
+    ingest.main(["--MANIFEST", man, "--OUTPUT_DIR", out,
+                 "--SIZE", "6", "32", "32",
+                 "--SPACING", "3.0", "0.5", "0.5", "--FOLDS", "0"])
+    rows = read_manifest(os.path.join(out, "cases.csv"))
+    img = np.load(rows[0]["image_path"])
+    assert img.shape == (6, 32, 32, 3)  # npz spacing drove the resample
