@@ -179,6 +179,12 @@ class ExportedModel:
         self.needs_rng = bool(meta["needs_rng"])
         self.num_classes = int(meta["num_classes"])
         self.mc_iter = int(meta["mc_iter"])
+        # duck-typed corner of the M1 surface (serve.run case loading)
+        self.cascaded = bool(meta["cascaded"])
+        self.probabilistic = bool(meta["probabilistic"])
+        self.input_spatial_dims = tuple(meta["input_spatial_dims"])
+        self.input_channels = int(meta["config"]["input_channels"])
+        self.config = dict(meta["config"])
         self._rng = jax.random.PRNGKey(seed)
 
     @classmethod

@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--MODEL", type=str, required=True,
                    help="checkpoint path (M1.save / CLI WeightsSaver output); "
                         "comma-separate K fold checkpoints to serve their "
-                        "ensemble as ONE vmapped program (ensemble.M1Ensemble)")
+                        "ensemble as ONE vmapped program (ensemble.M1Ensemble); "
+                        "or an AOT artifact .zip (export.py) for "
+                        "model-code-free window-sized serving")
     p.add_argument("--MANIFEST", type=str, required=True,
                    help="csv/tsv/xlsx manifest with p-id,image_path columns")
     p.add_argument("--OUTPUT_DIR", type=str, required=True)
@@ -369,6 +371,55 @@ class InferenceSession:
         return out
 
 
+class ExportedSession:
+    """Serve window-sized cases from an AOT artifact (export.py) — the
+    whole inference program (MC sampling / TTA / ensemble / cascaded
+    composition and any transfer slimming) was baked at export time, so
+    this session is a thin batching shim: no Flax, no tracing.
+
+    Oversized (sliding-window) volumes need a live checkpoint — the tile
+    program is built around the model — and raise a clear error here.
+    """
+
+    def __init__(self, model, seed: int = 0):
+        import jax
+
+        self.model = model  # an export.ExportedModel
+        self.model._rng = jax.random.PRNGKey(seed)
+        self._fixed_batch = model.meta.get("batch")
+        self._mean_std = model.meta["output"] == "mean_std"
+
+    def __call__(self, batch):
+        if isinstance(batch, tuple):  # cascaded: stack exams on channels
+            batch = np.concatenate(batch, axis=-1)
+        b = batch.shape[0]
+        fixed = self._fixed_batch
+        if fixed is not None:
+            if b > fixed:
+                raise ValueError(
+                    f"artifact has fixed batch {fixed}; got {b} "
+                    "(serve with --BATCH_SIZE <= that, or export with "
+                    "batch=None)")
+            if b < fixed:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], fixed - b, axis=0)], 0)
+        out = self.model.predict(batch)
+        if self._mean_std:
+            mean, std = out
+            return mean[:b], std[:b]
+        return out[:b], None
+
+    def predict_cases(self, vols, sw_overlap: float = 0.5,
+                      group_size: int = 8):
+        shapes = sorted({tuple(np.asarray(v).shape) for v in vols})
+        raise ValueError(
+            "sliding-window serving needs a live checkpoint, not an AOT "
+            f"artifact: oversized case shapes {shapes} vs window "
+            f"{tuple(self.model.input_spatial_dims)}. Export covers "
+            "window-sized inference only; use --MODEL <checkpoint.npz> "
+            "for whole-gland volumes.")
+
+
 def _load_one(row: Dict[str, str], train_obj: str, channels: int,
               whiten: bool) -> np.ndarray:
     from .data.generators import load_sample
@@ -405,24 +456,43 @@ def run(args) -> List[Dict]:
 
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
     paths = [p.strip() for p in str(args.MODEL).split(",") if p.strip()]
-    if len(paths) > 1:  # fold ensemble as ONE vmapped program
-        from .ensemble import M1Ensemble
+    if len(paths) == 1 and paths[0].endswith(".zip"):
+        # AOT artifact (export.py): the inference program — MC / TTA /
+        # ensemble / transfer slimming — was baked at export time, so the
+        # corresponding serve flags are inert here.
+        from .export import ExportedModel
 
-        model = M1Ensemble.load(paths)
+        if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
+            raise ValueError(
+                "--DATA_PARALLEL needs a live checkpoint; AOT artifacts "
+                "run the program as exported (single device)")
+        inert = [f for f, dv in (("MC_ITER", 1), ("TTA", 0),
+                                 ("TRANSFER_DTYPE", "float32"),
+                                 ("TRANSFER_CHANNELS", "all"))
+                 if getattr(args, f, dv) != dv]
+        if inert:
+            print(f"# note: {', '.join(inert)} ignored — baked into the "
+                  "artifact at export time", flush=True)
+        model = ExportedModel.load(paths[0], seed=args.SEED)
+        session = ExportedSession(model, seed=args.SEED)
     else:
-        model = M1.load(paths[0])
-    mesh = None
-    if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
-        from .parallel.mesh import make_mesh
+        if len(paths) > 1:  # fold ensemble as ONE vmapped program
+            from .ensemble import M1Ensemble
 
-        mesh = make_mesh(n_data=int(args.DATA_PARALLEL))
-    tdt = getattr(args, "TRANSFER_DTYPE", "float32")
-    session = InferenceSession(model, mc_iter=args.MC_ITER, seed=args.SEED,
-                               mesh=mesh,
-                               transfer_dtype=None if tdt == "float32" else tdt,
-                               tta=bool(getattr(args, "TTA", 0)),
-                               transfer_channels=getattr(
-                                   args, "TRANSFER_CHANNELS", "all"))
+            model = M1Ensemble.load(paths)
+        else:
+            model = M1.load(paths[0])
+        mesh = None
+        if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=int(args.DATA_PARALLEL))
+        tdt = getattr(args, "TRANSFER_DTYPE", "float32")
+        session = InferenceSession(
+            model, mc_iter=args.MC_ITER, seed=args.SEED, mesh=mesh,
+            transfer_dtype=None if tdt == "float32" else tdt,
+            tta=bool(getattr(args, "TTA", 0)),
+            transfer_channels=getattr(args, "TRANSFER_CHANNELS", "all"))
     window = tuple(model.input_spatial_dims)
     rows = read_manifest(args.MANIFEST)
 

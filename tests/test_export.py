@@ -149,3 +149,70 @@ def test_export_cli_ensemble_with_tta(tmp_path):
     got = loaded.predict(x)
     ref = tta_detect(ens.get_detect_model())(ens.params, x)
     np.testing.assert_allclose(got, np.asarray(ref, np.float32), atol=1e-5)
+
+
+def test_serve_from_artifact(tmp_path):
+    """serve.run with --MODEL artifact.zip: window-sized cases served from
+    the frozen program (same outputs as checkpoint serving), oversized
+    volumes rejected with a clear error, inert flags noted."""
+    import csv
+    import json
+
+    from prostatemr_3d_cad_cspca_tpu import serve
+
+    tmp = str(tmp_path)
+    model, ckpt = _mk_model(tmp, dropout_mode="monte-carlo",
+                            dropout_rate=0.5)
+    art = os.path.join(tmp, "m1.zip")
+    exp.export_model(model, art, platforms=("cpu",), mc_iter=2)
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i, shape in enumerate([SPATIAL, SPATIAL, SPATIAL]):
+        ip = os.path.join(tmp, f"case{i}.npy")
+        np.save(ip, rng.normal(size=(*shape, 3)).astype(np.float32))
+        rows.append({"p-id": f"case{i}", "image_path": ip,
+                     "label_path": ip, "zones_path": ip})
+    man = os.path.join(tmp, "test.csv")
+    with open(man, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+
+    out = os.path.join(tmp, "out")
+    args = serve.build_parser().parse_args([
+        "--MODEL", art, "--MANIFEST", man, "--OUTPUT_DIR", out,
+        "--BATCH_SIZE", "2", "--SEED", "3"])
+    results = serve.run(args)
+    assert len(results) == 3
+    with open(os.path.join(out, "predictions.json")) as f:
+        summary = json.load(f)
+    assert [r["p-id"] for r in summary] == [f"case{i}" for i in range(3)]
+    det = np.load(results[0]["detection_path"])
+    assert det.shape == (*SPATIAL, 2)
+    assert "uncertainty_path" in results[0]  # mc_iter=2 baked in
+
+    # checkpoint serving with the same seed/mc_iter gives the same voxels
+    out2 = os.path.join(tmp, "out2")
+    args2 = serve.build_parser().parse_args([
+        "--MODEL", ckpt, "--MANIFEST", man, "--OUTPUT_DIR", out2,
+        "--BATCH_SIZE", "2", "--MC_ITER", "2", "--SEED", "3"])
+    ref = serve.run(args2)
+    np.testing.assert_allclose(det, np.load(ref[0]["detection_path"]),
+                               atol=1e-5, rtol=1e-5)
+
+    # oversized volume -> clear error (no silent sliding-window fallback)
+    big = os.path.join(tmp, "big.npy")
+    np.save(big, rng.normal(size=(6, 24, 24, 3)).astype(np.float32))
+    rows.append({"p-id": "big", "image_path": big, "label_path": big,
+                 "zones_path": big})
+    man2 = os.path.join(tmp, "test2.csv")
+    with open(man2, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+    args3 = serve.build_parser().parse_args([
+        "--MODEL", art, "--MANIFEST", man2, "--OUTPUT_DIR", out,
+        "--BATCH_SIZE", "2"])
+    with pytest.raises(ValueError, match="live checkpoint"):
+        serve.run(args3)
