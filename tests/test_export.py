@@ -216,3 +216,27 @@ def test_serve_from_artifact(tmp_path):
         "--BATCH_SIZE", "2"])
     with pytest.raises(ValueError, match="live checkpoint"):
         serve.run(args3)
+
+
+def test_exported_session_fixed_batch_padding(tmp_path):
+    """ExportedSession pads short batches up to a fixed-batch artifact's
+    size and strips the padding; over-full batches raise."""
+    from prostatemr_3d_cad_cspca_tpu.serve import ExportedSession
+
+    tmp = str(tmp_path)
+    model, _ = _mk_model(tmp)
+    art = os.path.join(tmp, "m1_b4.zip")
+    exp.export_model(model, art, platforms=("cpu",), batch=4)
+    sess = ExportedSession(exp.ExportedModel.load(art))
+
+    x = np.random.default_rng(12).normal(size=(2, *SPATIAL, 3)) \
+        .astype(np.float32)
+    probs, unc = sess(x)
+    assert probs.shape == (2, *SPATIAL, 2) and unc is None
+    ref = np.asarray(model.predict(x), np.float32)
+    np.testing.assert_allclose(probs, ref, atol=1e-5, rtol=1e-5)
+
+    big = np.random.default_rng(13).normal(size=(5, *SPATIAL, 3)) \
+        .astype(np.float32)
+    with pytest.raises(ValueError, match="fixed batch 4"):
+        sess(big)
