@@ -41,9 +41,21 @@ def _load_volume(path: str) -> Tuple[np.ndarray, Optional[Tuple[float, ...]]]:
     """Load .npy / .npz; returns (volume, spacing-or-None)."""
     if path.endswith(".npz"):
         with np.load(path) as z:
-            vol = z[z.files[0]] if "image" not in z.files else z["image"]
             spacing = (tuple(float(s) for s in z["spacing"])
                        if "spacing" in z.files else None)
+            if "image" in z.files:
+                vol = z["image"]
+            else:  # one volume array besides the spacing vector
+                keys = [k for k in z.files if k != "spacing"]
+                if len(keys) != 1:
+                    raise ValueError(
+                        f"{path}: ambiguous npz — expected an 'image' array "
+                        f"(plus optional 'spacing'), found {z.files}")
+                vol = z[keys[0]]
+            if vol.ndim < 3:
+                raise ValueError(
+                    f"{path}: volume array must be (D,H,W[,C]), got shape "
+                    f"{vol.shape}")
         return vol, spacing
     return np.load(path), None
 
@@ -70,6 +82,21 @@ def ingest_case(
     """
     pid = row["p-id"]
     man_spacing = _parse_spacing(row.get("spacing", ""))
+    # Resolve ONE spacing for the whole case up front: image/label/zones are
+    # co-registered volumes of the same exam, so they must resample together
+    # or not at all — a per-volume decision would silently misalign a
+    # spacing-carrying .npz image against plain .npy labels.
+    case_spacing = man_spacing
+    img_src = (row.get("image_path") or "").strip()
+    if img_src.endswith(".npz"):
+        _, npz_spacing = _load_volume(img_src)
+        if npz_spacing is not None:
+            if man_spacing is not None and \
+                    tuple(npz_spacing) != tuple(man_spacing):
+                raise ValueError(
+                    f"{pid}: npz-embedded spacing {npz_spacing} contradicts "
+                    f"the manifest spacing column {man_spacing}")
+            case_spacing = npz_spacing
     out_row = {"p-id": pid}
     for col, is_label in (("image_path", False), ("label_path", True),
                           ("zones_path", True)):
@@ -78,7 +105,7 @@ def ingest_case(
             out_row[col] = ""
             continue
         vol, npz_spacing = _load_volume(src)
-        spacing = npz_spacing or man_spacing
+        spacing = npz_spacing or case_spacing
         if out_spacing is not None and spacing is not None \
                 and tuple(spacing) != tuple(out_spacing):
             vol = resample_volume(vol, spacing, out_spacing, is_label=is_label)
@@ -127,6 +154,10 @@ def run(args) -> List[str]:
     k = int(args.FOLDS)
     written = []
     if k >= 2:
+        if len(done) < k:
+            raise ValueError(
+                f"--FOLDS {k} needs at least {k} cases (got {len(done)}): "
+                "every fold must hold out a non-empty validation shard")
         order = np.random.default_rng(args.SEED).permutation(len(done))
         shards = [sorted(order[i::k]) for i in range(k)]
         for f in range(k):
@@ -137,9 +168,11 @@ def run(args) -> List[str]:
                 p = os.path.join(args.OUTPUT_DIR, f"{tag}-fold-{f + 1}.csv")
                 _write_manifest(p, part)
                 written.append(p)
-        print(f"Wrote {k}-fold manifests "
-              f"({len(done) - len(shards[0])}/{len(shards[0])} "
-              "train/valid split per fold)", flush=True)
+        sizes = sorted({len(sh) for sh in shards})
+        held = (str(sizes[0]) if len(sizes) == 1
+                else f"{sizes[0]}-{sizes[-1]}")
+        print(f"Wrote {k}-fold manifests ({held} of {len(done)} cases "
+              "held out per fold)", flush=True)
     else:  # single manifest, no split
         p = os.path.join(args.OUTPUT_DIR, "cases.csv")
         _write_manifest(p, done)

@@ -248,7 +248,7 @@ def main(argv=None) -> str:
     import os
 
     args = build_parser().parse_args(argv)
-    paths = [s for s in args.MODEL.split(",") if s]
+    paths = [s.strip() for s in str(args.MODEL).split(",") if s.strip()]
     if len(paths) > 1:
         from .ensemble import M1Ensemble
 

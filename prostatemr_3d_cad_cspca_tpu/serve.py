@@ -381,11 +381,8 @@ class ExportedSession:
     program is built around the model — and raise a clear error here.
     """
 
-    def __init__(self, model, seed: int = 0):
-        import jax
-
-        self.model = model  # an export.ExportedModel
-        self.model._rng = jax.random.PRNGKey(seed)
+    def __init__(self, model):
+        self.model = model  # an export.ExportedModel (seeded at load time)
         self._fixed_batch = model.meta.get("batch")
         self._mean_std = model.meta["output"] == "mean_std"
 
@@ -474,7 +471,7 @@ def run(args) -> List[Dict]:
             print(f"# note: {', '.join(inert)} ignored — baked into the "
                   "artifact at export time", flush=True)
         model = ExportedModel.load(paths[0], seed=args.SEED)
-        session = ExportedSession(model, seed=args.SEED)
+        session = ExportedSession(model)
     else:
         if len(paths) > 1:  # fold ensemble as ONE vmapped program
             from .ensemble import M1Ensemble

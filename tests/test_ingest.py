@@ -124,3 +124,52 @@ def test_ingest_npz_embedded_spacing(tmp_path):
     rows = read_manifest(os.path.join(out, "cases.csv"))
     img = np.load(rows[0]["image_path"])
     assert img.shape == (6, 32, 32, 3)  # npz spacing drove the resample
+    # the case's plain-.npy label/zones MUST resample with the image's
+    # embedded spacing (co-registered volumes) — not just get zero-padded
+    lab = np.load(rows[0]["label_path"])
+    assert lab.shape == (6, 32, 32) and set(np.unique(lab)) == {0, 2}
+    # label blob area scales ~4x with the in-plane upsample, which the
+    # pad-only bug could not produce (pad keeps the voxel count)
+    raw_lab_voxels = int((np.load(os.path.join(tmp, "raw0_lab.npy")) > 0).sum())
+    assert int((lab > 0).sum()) > 2.5 * raw_lab_voxels
+
+
+def test_ingest_error_paths(tmp_path):
+    import pytest
+
+    tmp = str(tmp_path)
+    # contradictory manifest-vs-npz spacing
+    man = _mk_raw(tmp, n=2, shape=(6, 16, 16), spacing=(3.0, 1.0, 1.0),
+                  npz=True)
+    import csv
+
+    rows = read_manifest(man)
+    for r in rows:
+        r["spacing"] = "3.0x2.0x2.0"  # disagrees with embedded (3,1,1)
+    man2 = os.path.join(tmp, "raw2.csv")
+    with open(man2, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+    with pytest.raises(ValueError, match="contradicts"):
+        ingest.main(["--MANIFEST", man2, "--OUTPUT_DIR",
+                     os.path.join(tmp, "f1"), "--SIZE", "6", "16", "16",
+                     "--SPACING", "3.0", "0.5", "0.5", "--FOLDS", "0"])
+
+    # more folds than cases -> empty validation shards must be refused
+    few = os.path.join(tmp, "few")
+    os.makedirs(few)
+    man3 = _mk_raw(few, n=3)
+    with pytest.raises(ValueError, match="at least 5 cases"):
+        ingest.main(["--MANIFEST", man3, "--OUTPUT_DIR",
+                     os.path.join(tmp, "f2"), "--SIZE", "8", "32", "32",
+                     "--FOLDS", "5"])
+
+    # ambiguous npz (no 'image' key, two candidate arrays)
+    amb = os.path.join(tmp, "amb.npz")
+    np.savez(amb, a=np.zeros((4, 8, 8), np.float32),
+             b=np.zeros((4, 8, 8), np.float32))
+    with pytest.raises(ValueError, match="ambiguous npz"):
+        ingest.ingest_case({"p-id": "x", "image_path": amb,
+                            "label_path": "", "zones_path": ""},
+                           tmp, size=(4, 8, 8))
