@@ -54,6 +54,11 @@ def main():
         return net.apply({"params": p}, v, train=False)["y_softmax"][..., :2]
 
     @jax.jit
+    def detect_fg32(p, v):  # foreground-only, fp32 (exact: bg = 1 - fg)
+        y = net.apply({"params": p}, v, train=False)["y_softmax"]
+        return y[..., 1:2]
+
+    @jax.jit
     def detect_slim(p, v):  # foreground-only + fp16, cast ON DEVICE
         y = net.apply({"params": p}, v, train=False)["y_softmax"]
         return y[..., 1:2].astype(jnp.float16)
@@ -73,17 +78,21 @@ def main():
           f"{120/dt:.1f} vol/s (wall {time.time()-t0:.0f}s)", flush=True)
 
     pts = []
-    for b in (120, 128, 136, 144, 152):
-        try:
-            t0 = time.time()
-            dt = _measure(detect_slim, (params, x_at(b)), iters=8)
-            pts.append((b, dt))
-            print(f"slim b{b}: {dt*1e3:.1f} ms -> {b/dt:.1f} vol/s "
-                  f"(wall {time.time()-t0:.0f}s)", flush=True)
-        except Exception as e:  # RESOURCE_EXHAUSTED / compile-helper 500
-            print(f"slim b{b}: FAILED {type(e).__name__}: {str(e)[:160]}",
-                  flush=True)
-            break
+    for tag, fn, batches in (
+            ("fg32", detect_fg32, (120, 128, 136)),
+            ("slim", detect_slim, (120, 128, 136, 144, 152))):
+        for b in batches:
+            try:
+                t0 = time.time()
+                dt = _measure(fn, (params, x_at(b)), iters=8)
+                if tag == "slim":
+                    pts.append((b, dt))
+                print(f"{tag} b{b}: {dt*1e3:.1f} ms -> {b/dt:.1f} vol/s "
+                      f"(wall {time.time()-t0:.0f}s)", flush=True)
+            except Exception as e:  # RESOURCE_EXHAUSTED / compile-helper 500
+                print(f"{tag} b{b}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                break
     if len(pts) >= 2:
         bs = np.array([p[0] for p in pts], float)
         ts = np.array([p[1] for p in pts], float)
