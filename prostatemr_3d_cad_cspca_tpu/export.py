@@ -84,6 +84,43 @@ def _detect_head(model, mc_iter: int, tta: bool):
     return fn, needs_rng
 
 
+def _tile_head(model, mc_iter: int, tta: bool):
+    """Tile-level forward for sliding-window export, mirroring
+    serve.InferenceSession._sw_program's composition: MC mean/std are
+    concatenated on channels (out_mult=2) so the Gaussian blend aggregates
+    both; cascaded exams arrive stacked on the channel axis."""
+    import jax
+    import jax.numpy as jnp
+
+    detect = model.get_detect_model()
+    if tta:
+        from .ensemble import tta_detect
+
+        detect = tta_detect(detect)
+    casc = bool(model.cascaded)
+    c = int(model.input_channels)
+    params = model.params
+    needs_rng = bool(
+        model.probabilistic
+        or model.config.get("dropout_mode") == "monte-carlo")
+
+    def fwd(tiles, rng=None):
+        inp = (tiles[..., :c], tiles[..., c:]) if casc else tiles
+        out = detect(params, inp, rng=rng) if needs_rng \
+            else detect(params, inp)
+        return out[-1] if casc else out
+
+    if needs_rng and mc_iter > 1:
+        def tile_fn(tiles, key):
+            s = jax.vmap(lambda k: fwd(tiles, k))(
+                jax.random.split(key, mc_iter))
+            return jnp.concatenate([s.mean(axis=0), s.std(axis=0)], -1)
+        return tile_fn, True, 2
+    if needs_rng:
+        return fwd, True, 1
+    return (lambda tiles: fwd(tiles)), False, 1
+
+
 def export_model(
     model,
     path: str,
@@ -93,6 +130,8 @@ def export_model(
     platforms: Sequence[str] = ("tpu", "cpu"),
     batch: Optional[int] = None,
     transfer_dtype: Optional[str] = None,
+    sw_shapes: Optional[Sequence[Sequence[int]]] = None,
+    sw_overlap: float = 0.5,
 ) -> str:
     """Serialize ``model``'s inference program (weights included) to ``path``.
 
@@ -107,6 +146,14 @@ def export_model(
     transfer_dtype: e.g. "float16" — cast outputs inside the program
         (serve's device->host transfer-slimming; quantizes probabilities
         by <=~5e-4).
+    sw_shapes: optional list of oversized case geometries (D, H, W); for
+        each, a ONE-program Gaussian-blended sliding-window pipeline
+        (infer.make_sliding_window_fn — tile gather, forward, blended
+        scatter in a single StableHLO module) is exported alongside the
+        window program, with a symbolic case axis. Deployment then serves
+        whole-gland volumes of those geometries from the same artifact
+        (``ExportedModel.predict_cases``).
+    sw_overlap: tile overlap fraction for the sliding-window programs.
     """
     import jax
     import jax.numpy as jnp
@@ -135,6 +182,40 @@ def export_model(
         args += (jax.ShapeDtypeStruct((2,), jnp.uint32),)
 
     exported = jexport.export(jax.jit(head), platforms=tuple(platforms))(*args)
+
+    sw_blobs = []
+    sw_meta = []
+    nc = int(model.num_classes)
+    odt = jnp.dtype(transfer_dtype) if transfer_dtype is not None else None
+    for i, shp in enumerate(sw_shapes or ()):
+        from .infer import make_sliding_window_fn
+
+        shp = tuple(int(d) for d in shp)
+        tile_fn, tile_rng, out_mult = _tile_head(model, mc_iter, tta)
+        # cases=2 with no mesh selects the plain-vmap variant, which is
+        # K-generic — exported below with a symbolic case axis
+        run = make_sliding_window_fn(
+            tile_fn, full_spatial=shp,
+            window=tuple(int(d) for d in model.input_spatial_dims),
+            in_channels=cin, out_channels=nc * out_mult,
+            overlap=float(sw_overlap), cases=2, rng_per_chunk=tile_rng,
+            out_dtype=odt)
+        kdims = jexport.symbolic_shape(f"k{i}")
+        v_spec = jax.ShapeDtypeStruct((*kdims, *shp, cin), jnp.float32)
+        sw_args = (v_spec,)
+        if tile_rng:
+            sw_args += (jax.ShapeDtypeStruct((2,), jnp.uint32),)
+        sw_blobs.append(
+            jexport.export(run, platforms=tuple(platforms))(*sw_args)
+            .serialize())
+        sw_meta.append({
+            "program": f"sw{i}.bin",
+            "case_spatial": list(shp),
+            "overlap": float(sw_overlap),
+            "out_mult": out_mult,
+            "needs_rng": tile_rng,
+        })
+
     meta = {
         "format_version": _FORMAT_VERSION,
         "platforms": list(platforms),
@@ -150,12 +231,15 @@ def export_model(
         "num_members": int(getattr(model, "num_members", 1)),
         "output": ("mean_std" if (needs_rng and mc_iter > 1) else "probs"),
         "transfer_dtype": transfer_dtype,
+        "sliding_window": sw_meta,
         "config": {k: v for k, v in model.config.items()
                    if k not in ("init_params",)},
     }
     tmp = path + ".tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("program.bin", exported.serialize())
+        for entry, blob in zip(sw_meta, sw_blobs):
+            z.writestr(entry["program"], blob)
         z.writestr("meta.json", json.dumps(meta, indent=1, default=str))
     import os
 
@@ -171,10 +255,12 @@ class ExportedModel:
     self-advance an internal PRNG key when ``rng`` is omitted.
     """
 
-    def __init__(self, exported, meta: dict, seed: int = 0):
+    def __init__(self, exported, meta: dict, seed: int = 0,
+                 sw_programs: Optional[dict] = None):
         import jax
 
         self._exp = exported
+        self._sw = dict(sw_programs or {})  # case_spatial tuple -> (exp, entry)
         self.meta = dict(meta)
         self.needs_rng = bool(meta["needs_rng"])
         self.num_classes = int(meta["num_classes"])
@@ -194,7 +280,12 @@ class ExportedModel:
         with zipfile.ZipFile(path, "r") as z:
             meta = json.loads(z.read("meta.json"))
             exported = jexport.deserialize(bytearray(z.read("program.bin")))
-        return cls(exported, meta, seed=seed)
+            sw = {}
+            for entry in meta.get("sliding_window", []):
+                sw[tuple(entry["case_spatial"])] = (
+                    jexport.deserialize(bytearray(z.read(entry["program"]))),
+                    entry)
+        return cls(exported, meta, seed=seed, sw_programs=sw)
 
     def predict(self, x, rng=None):
         import jax
@@ -219,6 +310,42 @@ class ExportedModel:
 
     __call__ = predict
 
+    @property
+    def sw_geometries(self):
+        """Case geometries with an exported sliding-window program."""
+        return sorted(self._sw)
+
+    def predict_cases(self, vols, rng=None):
+        """Whole-case sliding-window inference from the artifact's exported
+        SW programs. ``vols``: list of (D, H, W, C) arrays sharing ONE
+        geometry that was passed as ``sw_shapes`` at export time. Returns
+        ``[(probs, std | None), ...]`` like serve sessions.
+        """
+        import jax
+        import numpy as np
+
+        block = np.stack([np.asarray(v, np.float32) for v in vols])
+        shape = tuple(block.shape[1:-1])
+        if shape not in self._sw:
+            raise ValueError(
+                f"no sliding-window program for case geometry {shape}; "
+                f"artifact was exported with sw_shapes={self.sw_geometries} "
+                "(re-export with this geometry, or serve from a live "
+                "checkpoint)")
+        exp_sw, entry = self._sw[shape]
+        if entry["needs_rng"]:
+            if rng is None:
+                self._rng, rng = jax.random.split(self._rng)
+            out = exp_sw.call(block, np.asarray(rng, np.uint32))
+        else:
+            out = exp_sw.call(block)
+        out = np.asarray(out, np.float32)
+        nc = self.num_classes
+        if entry["out_mult"] == 2:
+            return [(out[i][..., :nc], out[i][..., nc:])
+                    for i in range(len(vols))]
+        return [(out[i], None) for i in range(len(vols))]
+
 
 def build_parser():
     import argparse
@@ -241,6 +368,13 @@ def build_parser():
                    help="fixed batch size; 0 = symbolic (any batch)")
     p.add_argument("--TRANSFER_DTYPE", type=str, default="float32",
                    choices=["float32", "float16", "bfloat16"])
+    p.add_argument("--SW_SHAPE", type=int, nargs=3, action="append",
+                   default=None, metavar=("D", "H", "W"),
+                   help="oversized case geometry to bake a one-program "
+                        "sliding-window pipeline for (repeatable); the "
+                        "artifact then serves whole-gland volumes of these "
+                        "shapes too")
+    p.add_argument("--SW_OVERLAP", type=float, default=0.5)
     return p
 
 
@@ -262,12 +396,14 @@ def main(argv=None) -> str:
         model, args.OUT, mc_iter=args.MC_ITER, tta=bool(args.TTA),
         platforms=tuple(args.PLATFORMS),
         batch=(args.BATCH or None),
-        transfer_dtype=None if tdt == "float32" else tdt)
+        transfer_dtype=None if tdt == "float32" else tdt,
+        sw_shapes=args.SW_SHAPE, sw_overlap=args.SW_OVERLAP)
     size = os.path.getsize(out)
     print(f"Exported {args.MODEL} -> {out} "
           f"({size / 1e6:.1f} MB, platforms={args.PLATFORMS}, "
           f"batch={'symbolic' if not args.BATCH else args.BATCH}, "
-          f"mc_iter={args.MC_ITER}, tta={bool(args.TTA)})")
+          f"mc_iter={args.MC_ITER}, tta={bool(args.TTA)}, "
+          f"sw_shapes={args.SW_SHAPE or []})")
     return out
 
 

@@ -408,13 +408,31 @@ class ExportedSession:
 
     def predict_cases(self, vols, sw_overlap: float = 0.5,
                       group_size: int = 8):
-        shapes = sorted({tuple(np.asarray(v).shape) for v in vols})
-        raise ValueError(
-            "sliding-window serving needs a live checkpoint, not an AOT "
-            f"artifact: oversized case shapes {shapes} vs window "
-            f"{tuple(self.model.input_spatial_dims)}. Export covers "
-            "window-sized inference only; use --MODEL <checkpoint.npz> "
-            "for whole-gland volumes.")
+        """Whole-case inference through the artifact's exported
+        sliding-window programs (export_model(sw_shapes=...)). The overlap
+        was baked at export time; a differing --SW_OVERLAP is noted as
+        inert. group_size bounds cases per program call (the case axis is
+        symbolic in the artifact)."""
+        stacked = [np.concatenate(v, axis=-1) if isinstance(v, tuple)
+                   else np.asarray(v) for v in vols]  # cascaded: 2 exams
+        if not self.model._sw:
+            shapes = sorted({tuple(v.shape) for v in stacked})
+            raise ValueError(
+                "this artifact has no sliding-window programs (exported "
+                f"without sw_shapes) — oversized case shapes {shapes} vs "
+                f"window {tuple(self.model.input_spatial_dims)} need a "
+                "re-export with sw_shapes=... or a live checkpoint")
+        baked = {shape: entry["overlap"]
+                 for shape, (_, entry) in self.model._sw.items()}
+        if any(abs(ov - float(sw_overlap)) > 1e-9 for ov in baked.values()):
+            print(f"# note: SW_OVERLAP={sw_overlap} ignored — overlaps "
+                  f"{baked} baked into the artifact at export time",
+                  flush=True)
+        out = []
+        k = max(1, int(group_size))
+        for i in range(0, len(stacked), k):
+            out.extend(self.model.predict_cases(stacked[i:i + k]))
+        return out
 
 
 def _load_one(row: Dict[str, str], train_obj: str, channels: int,

@@ -240,3 +240,78 @@ def test_exported_session_fixed_batch_padding(tmp_path):
         .astype(np.float32)
     with pytest.raises(ValueError, match="fixed batch 4"):
         sess(big)
+
+
+def test_export_sliding_window_programs(tmp_path):
+    """sw_shapes bakes one-program sliding-window pipelines into the
+    artifact: whole-case outputs match the live InferenceSession voxel-
+    for-voxel (same seed), the case axis is symbolic, and unknown
+    geometries raise with the available list."""
+    from prostatemr_3d_cad_cspca_tpu import serve
+
+    tmp = str(tmp_path)
+    model, ckpt = _mk_model(tmp)
+    art = os.path.join(tmp, "m1sw.zip")
+    exp.export_model(model, art, platforms=("cpu",),
+                     sw_shapes=[(6, 24, 24)])
+    loaded = exp.ExportedModel.load(art)
+    assert loaded.sw_geometries == [(6, 24, 24)]
+
+    rng = np.random.default_rng(20)
+    vols = [rng.normal(size=(6, 24, 24, 3)).astype(np.float32)
+            for _ in range(3)]
+    got = loaded.predict_cases(vols)  # symbolic case axis: 3 cases at once
+    ref_sess = serve.InferenceSession(M1.load(ckpt))
+    refs = ref_sess.predict_cases(vols, group_size=3)
+    for (gp, gu), (rp, ru) in zip(got, refs):
+        assert gu is None and ru is None
+        np.testing.assert_allclose(gp, rp, atol=1e-4, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="no sliding-window program"):
+        loaded.predict_cases([rng.normal(size=(8, 24, 24, 3))
+                              .astype(np.float32)])
+
+
+def test_serve_artifact_sliding_window_mc(tmp_path):
+    """serve.run with an artifact that carries SW programs: oversized MC
+    cases route through the exported pipeline end-to-end."""
+    import csv
+    import json
+
+    from prostatemr_3d_cad_cspca_tpu import serve
+
+    tmp = str(tmp_path)
+    model, _ = _mk_model(tmp, dropout_mode="monte-carlo", dropout_rate=0.5)
+    art = os.path.join(tmp, "mcsw.zip")
+    exp.export_model(model, art, platforms=("cpu",), mc_iter=2,
+                     sw_shapes=[(6, 24, 24)])
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i, shape in enumerate([SPATIAL, (6, 24, 24), (6, 24, 24)]):
+        ip = os.path.join(tmp, f"case{i}.npy")
+        np.save(ip, rng.normal(size=(*shape, 3)).astype(np.float32))
+        rows.append({"p-id": f"case{i}", "image_path": ip,
+                     "label_path": ip, "zones_path": ip})
+    man = os.path.join(tmp, "test.csv")
+    with open(man, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+
+    out = os.path.join(tmp, "out")
+    args = serve.build_parser().parse_args([
+        "--MODEL", art, "--MANIFEST", man, "--OUTPUT_DIR", out,
+        "--BATCH_SIZE", "2"])
+    results = serve.run(args)
+    assert len(results) == 3
+    with open(os.path.join(out, "predictions.json")) as f:
+        summary = json.load(f)
+    assert [r["p-id"] for r in summary] == [f"case{i}" for i in range(3)]
+    for r in results:
+        pid = r["p-id"]
+        det = np.load(r["detection_path"])
+        want = SPATIAL if pid == "case0" else (6, 24, 24)
+        assert det.shape == (*want, 2)
+        assert "uncertainty_path" in r  # mc_iter=2 baked in (both paths)
+        assert np.all(np.isfinite(det))
