@@ -39,6 +39,20 @@ __all__ = ["export_model", "ExportedModel"]
 _FORMAT_VERSION = 1
 
 
+def _detect_parts(model, tta: bool):
+    """Shared setup for the exported heads: the (possibly TTA-wrapped)
+    detect fn plus the cascaded/rng facts both heads branch on."""
+    detect = model.get_detect_model()
+    if tta:
+        from .ensemble import tta_detect
+
+        detect = tta_detect(detect)
+    needs_rng = bool(
+        model.probabilistic
+        or model.config.get("dropout_mode") == "monte-carlo")
+    return detect, bool(model.cascaded), int(model.input_channels), needs_rng
+
+
 def _detect_head(model, mc_iter: int, tta: bool):
     """Close the detect program over the trained params.
 
@@ -47,19 +61,8 @@ def _detect_head(model, mc_iter: int, tta: bool):
     sliding-window program in serve.py) and, when ``needs_rng``, a raw
     uint32[2] PRNG key.
     """
-    import jax
-
-    detect = model.get_detect_model()
-    if tta:
-        from .ensemble import tta_detect
-
-        detect = tta_detect(detect)
-    casc = bool(model.cascaded)
-    c = int(model.input_channels)
+    detect, casc, c, needs_rng = _detect_parts(model, tta)
     params = model.params
-    needs_rng = bool(
-        model.probabilistic
-        or model.config.get("dropout_mode") == "monte-carlo")
 
     def _split(x):
         return (x[..., :c], x[..., c:]) if casc else x
@@ -92,17 +95,8 @@ def _tile_head(model, mc_iter: int, tta: bool):
     import jax
     import jax.numpy as jnp
 
-    detect = model.get_detect_model()
-    if tta:
-        from .ensemble import tta_detect
-
-        detect = tta_detect(detect)
-    casc = bool(model.cascaded)
-    c = int(model.input_channels)
+    detect, casc, c, needs_rng = _detect_parts(model, tta)
     params = model.params
-    needs_rng = bool(
-        model.probabilistic
-        or model.config.get("dropout_mode") == "monte-carlo")
 
     def fwd(tiles, rng=None):
         inp = (tiles[..., :c], tiles[..., c:]) if casc else tiles
@@ -187,11 +181,12 @@ def export_model(
     sw_meta = []
     nc = int(model.num_classes)
     odt = jnp.dtype(transfer_dtype) if transfer_dtype is not None else None
-    for i, shp in enumerate(sw_shapes or ()):
+    if sw_shapes:
         from .infer import make_sliding_window_fn
 
-        shp = tuple(int(d) for d in shp)
         tile_fn, tile_rng, out_mult = _tile_head(model, mc_iter, tta)
+    for i, shp in enumerate(sw_shapes or ()):
+        shp = tuple(int(d) for d in shp)
         # cases=2 with no mesh selects the plain-vmap variant, which is
         # K-generic — exported below with a symbolic case axis
         run = make_sliding_window_fn(
@@ -314,6 +309,12 @@ class ExportedModel:
     def sw_geometries(self):
         """Case geometries with an exported sliding-window program."""
         return sorted(self._sw)
+
+    @property
+    def sw_entries(self):
+        """Public view of the sliding-window metadata:
+        ``{case_spatial: {"overlap": ..., "out_mult": ..., ...}}``."""
+        return {shape: dict(entry) for shape, (_, entry) in self._sw.items()}
 
     def predict_cases(self, vols, rng=None):
         """Whole-case sliding-window inference from the artifact's exported

@@ -411,28 +411,41 @@ class ExportedSession:
         """Whole-case inference through the artifact's exported
         sliding-window programs (export_model(sw_shapes=...)). The overlap
         was baked at export time; a differing --SW_OVERLAP is noted as
-        inert. group_size bounds cases per program call (the case axis is
-        symbolic in the artifact)."""
+        inert. Cases are grouped by geometry and each group is padded to
+        one size with a duplicate volume, so every call reuses ONE
+        compiled specialization of the symbolic-case-axis program (the
+        live session keeps the same invariant). Results align with
+        ``vols`` order."""
         stacked = [np.concatenate(v, axis=-1) if isinstance(v, tuple)
                    else np.asarray(v) for v in vols]  # cascaded: 2 exams
-        if not self.model._sw:
+        baked = self.model.sw_entries
+        if not baked:
             shapes = sorted({tuple(v.shape) for v in stacked})
             raise ValueError(
                 "this artifact has no sliding-window programs (exported "
                 f"without sw_shapes) — oversized case shapes {shapes} vs "
                 f"window {tuple(self.model.input_spatial_dims)} need a "
                 "re-export with sw_shapes=... or a live checkpoint")
-        baked = {shape: entry["overlap"]
-                 for shape, (_, entry) in self.model._sw.items()}
-        if any(abs(ov - float(sw_overlap)) > 1e-9 for ov in baked.values()):
+        overlaps = {shape: entry["overlap"] for shape, entry in baked.items()}
+        if any(abs(ov - float(sw_overlap)) > 1e-9
+               for ov in overlaps.values()):
             print(f"# note: SW_OVERLAP={sw_overlap} ignored — overlaps "
-                  f"{baked} baked into the artifact at export time",
+                  f"{overlaps} baked into the artifact at export time",
                   flush=True)
-        out = []
-        k = max(1, int(group_size))
-        for i in range(0, len(stacked), k):
-            out.extend(self.model.predict_cases(stacked[i:i + k]))
-        return out
+        by_shape: Dict[tuple, List[int]] = {}
+        for idx, v in enumerate(stacked):
+            by_shape.setdefault(tuple(v.shape), []).append(idx)
+        results: List[Optional[tuple]] = [None] * len(stacked)
+        for idxs in by_shape.values():
+            k = min(max(1, int(group_size)), len(idxs))
+            for i in range(0, len(idxs), k):
+                chunk = idxs[i:i + k]
+                pad = k - len(chunk)
+                block = [stacked[j] for j in chunk] + [stacked[chunk[-1]]] * pad
+                got = self.model.predict_cases(block)
+                for j, r in zip(chunk, got):
+                    results[j] = r
+        return results
 
 
 def _load_one(row: Dict[str, str], train_obj: str, channels: int,

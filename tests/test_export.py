@@ -315,3 +315,32 @@ def test_serve_artifact_sliding_window_mc(tmp_path):
         assert det.shape == (*want, 2)
         assert "uncertainty_path" in r  # mc_iter=2 baked in (both paths)
         assert np.all(np.isfinite(det))
+
+
+def test_exported_session_mixed_geometries(tmp_path):
+    """ExportedSession.predict_cases groups mixed-geometry cases by shape
+    (results aligned with input order) and pads partial groups."""
+    from prostatemr_3d_cad_cspca_tpu.serve import ExportedSession
+
+    tmp = str(tmp_path)
+    model, _ = _mk_model(tmp)
+    art = os.path.join(tmp, "multi.zip")
+    exp.export_model(model, art, platforms=("cpu",),
+                     sw_shapes=[(6, 24, 24), (8, 20, 20)])
+    loaded = exp.ExportedModel.load(art)
+    sess = ExportedSession(loaded)
+
+    rng = np.random.default_rng(30)
+    vols = [rng.normal(size=(6, 24, 24, 3)).astype(np.float32),
+            rng.normal(size=(8, 20, 20, 3)).astype(np.float32),
+            rng.normal(size=(6, 24, 24, 3)).astype(np.float32)]
+    got = sess.predict_cases(vols, group_size=2)
+    assert len(got) == 3
+    # per-shape reference calls, order-aligned
+    ref0 = loaded.predict_cases([vols[0], vols[2]])
+    ref1 = loaded.predict_cases([vols[1]])
+    np.testing.assert_allclose(got[0][0], ref0[0][0], atol=1e-6)
+    np.testing.assert_allclose(got[2][0], ref0[1][0], atol=1e-6)
+    np.testing.assert_allclose(got[1][0], ref1[0][0], atol=1e-6)
+    assert got[0][0].shape == (6, 24, 24, 2)
+    assert got[1][0].shape == (8, 20, 20, 2)
