@@ -1,0 +1,118 @@
+"""Offline evaluation driver: checkpoint + manifest -> detection metrics.
+
+The reference intended exactly this — its validation callbacks are 'TBA'
+stubs (reference train_model.py:240-245) importing a never-released
+internal tool (deploy_FROC, callbacks.py:20). Here the metrics are
+implemented for real (train/metrics.py, train/validation.py) and this
+driver closes the workflow loop: train (cli.py) -> evaluate (this) ->
+serve (serve.py).
+
+  python -m prostatemr_3d_cad_cspca_tpu.evaluate \\
+    --MODEL weights/F1/model_weights_250.npz --MANIFEST valid-fold-1.csv \\
+    --TRAIN_OBJ lesion --PROBA_ITER 5 --OUTPUT metrics.json
+
+Lesion task -> patient AUROC, lesion FROC partial AUC (mean sensitivity
+at 0.5/1/2/4 FP per case), lesion AP, mean Dice; zonal task -> per-class
+TZ/PZ Dice. Comma-separated checkpoints evaluate the fold ensemble as one
+vmapped program (ensemble.M1Ensemble), matching the deployed
+configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+__all__ = ["run", "main", "build_parser"]
+
+
+def build_parser():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        "prostatemr_3d_cad_cspca_tpu.evaluate",
+        description="Evaluate a trained checkpoint (or comma-separated fold "
+                    "ensemble) on a labeled manifest.")
+    p.add_argument("--MODEL", type=str, required=True,
+                   help="checkpoint path; comma-separate K fold checkpoints "
+                        "to evaluate their ensemble")
+    p.add_argument("--MANIFEST", type=str, required=True,
+                   help="labeled manifest (.csv/.tsv/.xlsx): p-id, "
+                        "image_path, label_path, zones_path")
+    p.add_argument("--TRAIN_OBJ", type=str, default="lesion",
+                   choices=["lesion", "zonal"])
+    p.add_argument("--PROBA_ITER", type=int, default=1,
+                   help="Monte-Carlo samples per case (reference "
+                        "--UNET_PROBA_ITER, train_model.py:71)")
+    p.add_argument("--THRESHOLD", type=float, default=0.10,
+                   help="lesion candidate extraction threshold")
+    p.add_argument("--TTA", type=int, default=0,
+                   help="fuse axial flip test-time augmentation")
+    p.add_argument("--SEED", type=int, default=0)
+    p.add_argument("--OUTPUT", type=str, default="",
+                   help="write the metrics dict to this JSON path")
+    return p
+
+
+def run(args) -> Dict[str, float]:
+    from .data.generators import load_sample
+    from .data.manifest import read_manifest
+    from .models.m1 import M1
+    from .train.validation import (AnatomySegmentationValidation,
+                                   PCaDetectionValidation)
+
+    paths = [p.strip() for p in str(args.MODEL).split(",") if p.strip()]
+    if len(paths) > 1:
+        from .ensemble import M1Ensemble
+
+        model = M1Ensemble.load(paths)
+    else:
+        model = M1.load(paths[0])
+
+    detect = model.get_detect_model()
+    if int(getattr(args, "TTA", 0)):
+        from .ensemble import tta_detect
+
+        detect = tta_detect(detect)
+
+    rows = read_manifest(args.MANIFEST)
+    assert rows, f"empty manifest: {args.MANIFEST}"
+    samples: List[dict] = [
+        load_sample(row, train_obj=args.TRAIN_OBJ,
+                    probabilistic=bool(model.probabilistic), mode="valid")
+        for row in rows
+    ]
+
+    if args.TRAIN_OBJ == "lesion":
+        validator = PCaDetectionValidation(
+            detect, samples, proba_iter=int(args.PROBA_ITER),
+            threshold=float(args.THRESHOLD), seed=int(args.SEED))
+    else:
+        validator = AnatomySegmentationValidation(
+            detect, samples, seed=int(args.SEED))
+    import numpy as np
+
+    # undefined metrics (e.g. patient AUROC with single-class targets)
+    # emit null, not NaN — NaN is not valid strict JSON
+    metrics = {k: (round(float(v), 6) if np.isfinite(v) else None)
+               for k, v in validator(model.params).items()}
+    metrics["cases"] = len(samples)
+
+    print(json.dumps(metrics), flush=True)
+    if args.OUTPUT:
+        tmp = args.OUTPUT + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(args.OUTPUT)),
+                    exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(metrics, f, indent=1)
+        os.replace(tmp, args.OUTPUT)
+    return metrics
+
+
+def main(argv=None) -> Dict[str, float]:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
