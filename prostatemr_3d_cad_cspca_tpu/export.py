@@ -376,6 +376,10 @@ def build_parser():
                         "artifact then serves whole-gland volumes of these "
                         "shapes too")
     p.add_argument("--SW_OVERLAP", type=float, default=0.5)
+    p.add_argument("--VALIDATE", type=int, default=1,
+                   help="after exporting, reload the artifact and check a "
+                        "random-input forward against the live model "
+                        "(deployment safety; 0 skips)")
     return p
 
 
@@ -405,7 +409,49 @@ def main(argv=None) -> str:
           f"batch={'symbolic' if not args.BATCH else args.BATCH}, "
           f"mc_iter={args.MC_ITER}, tta={bool(args.TTA)}, "
           f"sw_shapes={args.SW_SHAPE or []})")
+    if int(getattr(args, "VALIDATE", 1)):
+        err = validate_artifact(model, out, mc_iter=args.MC_ITER,
+                                tta=bool(args.TTA),
+                                transfer_dtype=None if tdt == "float32"
+                                else tdt)
+        print(f"Validated: artifact == live model on a random batch "
+              f"(max |diff| {err:.2e})")
     return out
+
+
+def validate_artifact(model, path: str, *, mc_iter: int = 1,
+                      tta: bool = False,
+                      transfer_dtype: Optional[str] = None,
+                      batch: int = 2, seed: int = 0) -> float:
+    """Reload ``path`` and compare one random-input forward against the
+    live ``model`` under the SAME key (deployment safety gate). Returns the
+    max abs deviation; raises if it exceeds the dtype-appropriate bound.
+    """
+    import jax
+    import numpy as np
+
+    loaded = ExportedModel.load(path)
+    cin = int(loaded.meta["input_channels"])
+    spatial = tuple(loaded.meta["input_spatial_dims"])
+    fixed = loaded.meta.get("batch")
+    b = int(fixed or batch)
+    x = np.random.default_rng(seed).normal(
+        size=(b, *spatial, cin)).astype(np.float32)
+
+    head, needs_rng = _detect_head(model, mc_iter, tta)
+    key = jax.random.PRNGKey(seed)
+    ref = head(x, key) if needs_rng else head(x)
+    got = loaded.predict(x, rng=key) if needs_rng else loaded.predict(x)
+    ref_leaves = ref if isinstance(ref, tuple) else (ref,)
+    got_leaves = got if isinstance(got, tuple) else (got,)
+    err = max(float(np.max(np.abs(np.asarray(r, np.float32) - g)))
+              for r, g in zip(ref_leaves, got_leaves))
+    tol = 5e-3 if transfer_dtype else 1e-4
+    if err > tol:
+        raise AssertionError(
+            f"exported artifact deviates from the live model: max |diff| "
+            f"{err:.3e} > {tol} — do not deploy {path}")
+    return err
 
 
 if __name__ == "__main__":

@@ -344,3 +344,15 @@ def test_exported_session_mixed_geometries(tmp_path):
     np.testing.assert_allclose(got[1][0], ref1[0][0], atol=1e-6)
     assert got[0][0].shape == (6, 24, 24, 2)
     assert got[1][0].shape == (8, 20, 20, 2)
+
+
+def test_export_cli_validate_gate(tmp_path, capsys):
+    """--VALIDATE (default on) reloads the artifact and checks a random
+    forward against the live model; MC artifacts validate under a shared
+    key; transfer_dtype widens the tolerance."""
+    tmp = str(tmp_path)
+    _, ckpt = _mk_model(tmp, dropout_mode="monte-carlo", dropout_rate=0.5)
+    art = os.path.join(tmp, "v.zip")
+    exp.main(["--MODEL", ckpt, "--OUT", art, "--PLATFORMS", "cpu",
+              "--MC_ITER", "2", "--TRANSFER_DTYPE", "float16"])
+    assert "Validated: artifact == live model" in capsys.readouterr().out
