@@ -55,42 +55,67 @@ def build_parser():
     return p
 
 
+class _LazySamples:
+    """Re-iterable, O(1)-memory view of a labeled manifest: each pass
+    loads/preprocesses one case at a time (the validators consume samples
+    strictly sequentially, so nothing needs to stay resident)."""
+
+    def __init__(self, rows, train_obj: str, probabilistic: bool):
+        from .data.generators import load_sample
+
+        self._load = load_sample
+        self.rows = rows
+        self.train_obj = train_obj
+        self.probabilistic = probabilistic
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __iter__(self):
+        for row in self.rows:
+            yield self._load(row, train_obj=self.train_obj,
+                             probabilistic=self.probabilistic, mode="valid")
+
+
 def run(args) -> Dict[str, float]:
-    from .data.generators import load_sample
     from .data.manifest import read_manifest
-    from .models.m1 import M1
+    from .load import load_model
     from .train.validation import (AnatomySegmentationValidation,
                                    PCaDetectionValidation)
 
-    paths = [p.strip() for p in str(args.MODEL).split(",") if p.strip()]
-    if len(paths) > 1:
-        from .ensemble import M1Ensemble
-
-        model = M1Ensemble.load(paths)
-    else:
-        model = M1.load(paths[0])
+    model = load_model(args.MODEL)
 
     detect = model.get_detect_model()
     if int(getattr(args, "TTA", 0)):
         from .ensemble import tta_detect
 
         detect = tta_detect(detect)
+    if model.cascaded:
+        # Cascaded two-exam contract (reference networks.py:111-112): the
+        # manifest schema here carries one exam, so it feeds both stages
+        # (serve's fallback, serve._load_case) and the FINAL-stage
+        # detection is scored — matching serve/export semantics.
+        base_detect = detect
+
+        def detect(params, x, rng=None):  # noqa: F811
+            return base_detect(params, (x, x), rng=rng)[-1]
 
     rows = read_manifest(args.MANIFEST)
     assert rows, f"empty manifest: {args.MANIFEST}"
-    samples: List[dict] = [
-        load_sample(row, train_obj=args.TRAIN_OBJ,
-                    probabilistic=bool(model.probabilistic), mode="valid")
-        for row in rows
-    ]
+    samples = _LazySamples(rows, args.TRAIN_OBJ,
+                           probabilistic=bool(model.probabilistic))
 
     if args.TRAIN_OBJ == "lesion":
         validator = PCaDetectionValidation(
             detect, samples, proba_iter=int(args.PROBA_ITER),
             threshold=float(args.THRESHOLD), seed=int(args.SEED))
     else:
+        if float(args.THRESHOLD) != 0.10:
+            print("# note: --THRESHOLD is a lesion-candidate parameter; "
+                  "inert for the zonal task", flush=True)
         validator = AnatomySegmentationValidation(
-            detect, samples, seed=int(args.SEED))
+            detect, samples, proba_iter=int(args.PROBA_ITER),
+            seed=int(args.SEED))
     import numpy as np
 
     # undefined metrics (e.g. patient AUROC with single-class targets)

@@ -387,15 +387,9 @@ def main(argv=None) -> str:
     import os
 
     args = build_parser().parse_args(argv)
-    paths = [s.strip() for s in str(args.MODEL).split(",") if s.strip()]
-    if len(paths) > 1:
-        from .ensemble import M1Ensemble
+    from .load import load_model
 
-        model = M1Ensemble.load(paths)
-    else:
-        from .models.m1 import M1
-
-        model = M1.load(paths[0])
+    model = load_model(args.MODEL)
     tdt = args.TRANSFER_DTYPE
     out = export_model(
         model, args.OUT, mc_iter=args.MC_ITER, tta=bool(args.TTA),
@@ -410,12 +404,23 @@ def main(argv=None) -> str:
           f"mc_iter={args.MC_ITER}, tta={bool(args.TTA)}, "
           f"sw_shapes={args.SW_SHAPE or []})")
     if int(getattr(args, "VALIDATE", 1)):
-        err = validate_artifact(model, out, mc_iter=args.MC_ITER,
-                                tta=bool(args.TTA),
-                                transfer_dtype=None if tdt == "float32"
-                                else tdt)
+        try:
+            err = validate_artifact(model, out, mc_iter=args.MC_ITER,
+                                    tta=bool(args.TTA),
+                                    transfer_dtype=None if tdt == "float32"
+                                    else tdt)
+        except BaseException:
+            # never leave a failed artifact at the deployable path — a
+            # pipeline that globs for the file instead of checking the
+            # exit code must not ship it
+            try:
+                os.remove(out)
+            except OSError:
+                pass
+            raise
         print(f"Validated: artifact == live model on a random batch "
-              f"(max |diff| {err:.2e})")
+              f"(max |diff| {err:.2e}, incl. "
+              f"{len(args.SW_SHAPE or [])} sliding-window program(s))")
     return out
 
 
@@ -428,6 +433,7 @@ def validate_artifact(model, path: str, *, mc_iter: int = 1,
     max abs deviation; raises if it exceeds the dtype-appropriate bound.
     """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     loaded = ExportedModel.load(path)
@@ -447,6 +453,35 @@ def validate_artifact(model, path: str, *, mc_iter: int = 1,
     err = max(float(np.max(np.abs(np.asarray(r, np.float32) - g)))
               for r, g in zip(ref_leaves, got_leaves))
     tol = 5e-3 if transfer_dtype else 1e-4
+
+    # every sliding-window program ships validated too: a freshly-built
+    # live pipeline (same factory, same key) must reproduce the
+    # deserialized one
+    for shape, entry in loaded.sw_entries.items():
+        from .infer import make_sliding_window_fn
+
+        tile_fn, tile_rng, out_mult = _tile_head(model, mc_iter, tta)
+        live = make_sliding_window_fn(
+            tile_fn, full_spatial=shape,
+            window=tuple(int(d) for d in model.input_spatial_dims),
+            in_channels=cin,
+            out_channels=int(model.num_classes) * out_mult,
+            overlap=float(entry["overlap"]), cases=2,
+            rng_per_chunk=tile_rng,
+            out_dtype=jnp.dtype(transfer_dtype) if transfer_dtype else None)
+        vols = np.random.default_rng(seed + 1).normal(
+            size=(2, *shape, cin)).astype(np.float32)
+        if tile_rng:
+            ref_sw = np.asarray(live(vols, key), np.float32)
+            got_sw = loaded.predict_cases(list(vols), rng=key)
+        else:
+            ref_sw = np.asarray(live(vols), np.float32)
+            got_sw = loaded.predict_cases(list(vols))
+        for i, (gp, gu) in enumerate(got_sw):
+            stacked = (np.concatenate([gp, gu], -1)
+                       if gu is not None else gp)
+            err = max(err, float(np.max(np.abs(ref_sw[i] - stacked))))
+
     if err > tol:
         raise AssertionError(
             f"exported artifact deviates from the live model: max |diff| "

@@ -479,17 +479,14 @@ def _load_case(row: Dict[str, str], train_obj: str, channels: int,
 
 def run(args) -> List[Dict]:
     from .data.manifest import read_manifest
-    from .models.m1 import M1
+    from .load import load_model
     from .train.metrics import extract_lesion_candidates
 
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
-    paths = [p.strip() for p in str(args.MODEL).split(",") if p.strip()]
-    if len(paths) == 1 and paths[0].endswith(".zip"):
-        # AOT artifact (export.py): the inference program — MC / TTA /
-        # ensemble / transfer slimming — was baked at export time, so the
-        # corresponding serve flags are inert here.
-        from .export import ExportedModel
-
+    model = load_model(args.MODEL, seed=args.SEED, allow_artifact=True)
+    if hasattr(model, "sw_entries"):  # AOT artifact (export.ExportedModel)
+        # The inference program — MC / TTA / ensemble / transfer slimming —
+        # was baked at export time, so the corresponding flags are inert.
         if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
             raise ValueError(
                 "--DATA_PARALLEL needs a live checkpoint; AOT artifacts "
@@ -501,15 +498,8 @@ def run(args) -> List[Dict]:
         if inert:
             print(f"# note: {', '.join(inert)} ignored — baked into the "
                   "artifact at export time", flush=True)
-        model = ExportedModel.load(paths[0], seed=args.SEED)
         session = ExportedSession(model)
     else:
-        if len(paths) > 1:  # fold ensemble as ONE vmapped program
-            from .ensemble import M1Ensemble
-
-            model = M1Ensemble.load(paths)
-        else:
-            model = M1.load(paths[0])
         mesh = None
         if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
             from .parallel.mesh import make_mesh

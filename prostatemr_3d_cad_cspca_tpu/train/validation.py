@@ -22,6 +22,14 @@ from ..infer import mc_predict
 from .metrics import dice_3d, froc_curve, lesion_average_precision, patient_auroc
 
 
+def _reiterable(valid_samples: Iterable):
+    """Keep re-iterable sequences (lists, evaluate._LazySamples) as-is so
+    lazy views stay O(1)-memory; materialize one-shot generators, which
+    would otherwise be exhausted after the first validation epoch."""
+    return (valid_samples if hasattr(valid_samples, "__len__")
+            else list(valid_samples))
+
+
 def _case_probs(
     detect_fn: Callable,
     params,
@@ -48,7 +56,7 @@ class PCaDetectionValidation:
     def __init__(self, detect_fn: Callable, valid_samples: Iterable,
                  proba_iter: int = 1, threshold: float = 0.10, seed: int = 0):
         self.detect_fn = detect_fn
-        self.samples = list(valid_samples)
+        self.samples = _reiterable(valid_samples)
         self.proba_iter = proba_iter
         self.threshold = threshold
         self.seed = seed
@@ -83,15 +91,18 @@ class AnatomySegmentationValidation:
     """Zonal segmentation validation (WG/TZ/PZ Dice)."""
 
     def __init__(self, detect_fn: Callable, valid_samples: Iterable,
-                 class_names=("WG", "TZ", "PZ"), seed: int = 0):
+                 class_names=("WG", "TZ", "PZ"), proba_iter: int = 1,
+                 seed: int = 0):
         self.detect_fn = detect_fn
-        self.samples = list(valid_samples)
+        self.samples = _reiterable(valid_samples)
         self.class_names = class_names
+        self.proba_iter = proba_iter
         self.seed = seed
 
     def __call__(self, params) -> Dict[str, float]:
         probs, labels = _case_probs(
-            self.detect_fn, params, self.samples, jax.random.PRNGKey(self.seed))
+            self.detect_fn, params, self.samples,
+            jax.random.PRNGKey(self.seed), self.proba_iter)
         out: Dict[str, float] = {}
         for c, name in enumerate(self.class_names):
             if c == 0:

@@ -88,3 +88,28 @@ def test_evaluate_zonal_and_ensemble(tmp_path):
     got = evaluate.main(["--MODEL", f"{p1},{p2}", "--MANIFEST", man,
                          "--TRAIN_OBJ", "lesion", "--TTA", "1"])
     assert got["cases"] == 4 and 0.0 <= got["lesion_ap"] <= 1.0
+
+
+def test_evaluate_cascaded_and_zonal_mc(tmp_path):
+    """Cascaded checkpoints evaluate the FINAL-stage detection (single exam
+    feeds both stages, serve parity); zonal --PROBA_ITER actually MC-averages
+    (different iter counts give different Dice on a dropout model)."""
+    tmp = str(tmp_path)
+    man = _mk_data(tmp)
+
+    casc = M1(input_channels=3, num_classes=2, cascaded="noisy-or", **ARCH)
+    cckpt = os.path.join(tmp, "c.npz")
+    casc.save(cckpt)
+    got = evaluate.main(["--MODEL", cckpt, "--MANIFEST", man,
+                         "--TRAIN_OBJ", "lesion"])
+    assert got["cases"] == 4 and 0.0 <= got["lesion_ap"] <= 1.0
+
+    mc_arch = dict(ARCH, dropout_rate=0.5, dropout_mode="monte-carlo")
+    zon = M1(input_channels=1, num_classes=3, **mc_arch)
+    zckpt = os.path.join(tmp, "zmc.npz")
+    zon.save(zckpt)
+    a = evaluate.main(["--MODEL", zckpt, "--MANIFEST", man,
+                       "--TRAIN_OBJ", "zonal", "--PROBA_ITER", "1"])
+    b = evaluate.main(["--MODEL", zckpt, "--MANIFEST", man,
+                       "--TRAIN_OBJ", "zonal", "--PROBA_ITER", "4"])
+    assert a["dice_mean"] != b["dice_mean"]  # MC averaging took effect
