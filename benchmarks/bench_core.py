@@ -222,6 +222,50 @@ def main():
 
     print(json.dumps(results), flush=True)
 
+    # ---- cfg1 foreground-only output: past the b120 HBM ceiling? ----------
+    # The standard cfg1 program materializes a 983 MB fp32 2-channel output
+    # at b120 and b124+ is RESOURCE_EXHAUSTED. Serving's EXACT
+    # foreground-only transfer (softmax bg reconstructed host-side as
+    # 1 - fg, serve.py --TRANSFER_CHANNELS foreground) halves that buffer
+    # inside the same program, so larger batches may now fit. Served
+    # product is identical fp32 probabilities; runs LAST so a compile
+    # flake cannot crowd out the recorded configs above.
+    if _time_left() > 240:
+        m1fg = build(jnp.bfloat16)
+        net_fg = m1fg.net
+
+        @jax.jit
+        def detect_fg(p, v):
+            y = net_fg.apply({"params": p}, v, train=False)["y_softmax"]
+            return y[..., 1:2]
+
+        params_fg = m1fg.init(0)
+        base_fg = np.random.default_rng(0).normal(
+            size=(8, 20, 160, 160, 3)).astype(np.float32)
+        for batch in (124, 128, 136):
+            if _time_left() < 120:
+                break
+            xf = None
+            try:
+                xf = jnp.tile(jnp.asarray(base_fg, jnp.bfloat16),
+                              ((batch + 7) // 8, 1, 1, 1, 1))[:batch]
+                dt = _measure(detect_fg, (params_fg, xf), iters=8)
+            except Exception as e:  # RESOURCE_EXHAUSTED / helper 500
+                print(f"# cfg1 fgout b{batch} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", file=sys.stderr, flush=True)
+                del xf
+                gc.collect()
+                break
+            vps = batch / dt
+            print(f"# cfg1 fgout b{batch}: {dt*1e3:.1f} ms/iter -> "
+                  f"{vps:.1f} vol/s", file=sys.stderr, flush=True)
+            results[f"cfg1_bf16_b{batch}_fgout"] = round(vps, 3)
+            del xf
+            gc.collect()
+            print(json.dumps(results), flush=True)
+
+    print(json.dumps(results), flush=True)
+
 
 if __name__ == "__main__":
     main()
