@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List
+from typing import Dict
 
 __all__ = ["run", "main", "build_parser"]
 
@@ -60,30 +60,49 @@ class _LazySamples:
     loads/preprocesses one case at a time (the validators consume samples
     strictly sequentially, so nothing needs to stay resident)."""
 
-    def __init__(self, rows, train_obj: str, probabilistic: bool):
+    def __init__(self, rows, train_obj: str, probabilistic: bool,
+                 cascaded: bool = False):
         from .data.generators import load_sample
 
         self._load = load_sample
         self.rows = rows
         self.train_obj = train_obj
         self.probabilistic = probabilistic
+        self.cascaded = cascaded
 
     def __len__(self):
         return len(self.rows)
 
     def __iter__(self):
+        import numpy as np
+
         for row in self.rows:
-            yield self._load(row, train_obj=self.train_obj,
-                             probabilistic=self.probabilistic, mode="valid")
+            s = self._load(row, train_obj=self.train_obj,
+                           probabilistic=self.probabilistic, mode="valid")
+            if self.cascaded:
+                # two-exam contract (reference networks.py:111-112), same
+                # as serve._load_case: an image_path_2 column supplies the
+                # second exam; absent that, exam 1 feeds both stages.
+                # Exams are stacked on channels; the detect wrapper splits.
+                if (row.get("image_path_2") or "").strip():
+                    row2 = dict(row, image_path=row["image_path_2"])
+                    img2 = self._load(
+                        row2, train_obj=self.train_obj,
+                        probabilistic=self.probabilistic,
+                        mode="valid")["image"]
+                else:
+                    img2 = s["image"]
+                s = dict(s, image=np.concatenate([s["image"], img2], -1))
+            yield s
 
 
 def run(args) -> Dict[str, float]:
     from .data.manifest import read_manifest
-    from .load import load_model
+    from .load import load_model_spec
     from .train.validation import (AnatomySegmentationValidation,
                                    PCaDetectionValidation)
 
-    model = load_model(args.MODEL)
+    model = load_model_spec(args.MODEL)
 
     detect = model.get_detect_model()
     if int(getattr(args, "TTA", 0)):
@@ -91,19 +110,23 @@ def run(args) -> Dict[str, float]:
 
         detect = tta_detect(detect)
     if model.cascaded:
-        # Cascaded two-exam contract (reference networks.py:111-112): the
-        # manifest schema here carries one exam, so it feeds both stages
-        # (serve's fallback, serve._load_case) and the FINAL-stage
-        # detection is scored — matching serve/export semantics.
+        # Cascaded two-exam contract (reference networks.py:111-112):
+        # _LazySamples stacks the exams on channels (an image_path_2
+        # manifest column supplies exam 2, serve._load_case parity); the
+        # wrapper splits them and scores the FINAL-stage detection,
+        # matching serve/export semantics.
         base_detect = detect
+        c = int(model.input_channels)
 
         def detect(params, x, rng=None):  # noqa: F811
-            return base_detect(params, (x, x), rng=rng)[-1]
+            return base_detect(params, (x[..., :c], x[..., c:]),
+                               rng=rng)[-1]
 
     rows = read_manifest(args.MANIFEST)
     assert rows, f"empty manifest: {args.MANIFEST}"
     samples = _LazySamples(rows, args.TRAIN_OBJ,
-                           probabilistic=bool(model.probabilistic))
+                           probabilistic=bool(model.probabilistic),
+                           cascaded=bool(model.cascaded))
 
     if args.TRAIN_OBJ == "lesion":
         validator = PCaDetectionValidation(

@@ -387,9 +387,9 @@ def main(argv=None) -> str:
     import os
 
     args = build_parser().parse_args(argv)
-    from .load import load_model
+    from .load import load_model_spec
 
-    model = load_model(args.MODEL)
+    model = load_model_spec(args.MODEL)
     tdt = args.TRANSFER_DTYPE
     out = export_model(
         model, args.OUT, mc_iter=args.MC_ITER, tta=bool(args.TTA),
@@ -457,10 +457,11 @@ def validate_artifact(model, path: str, *, mc_iter: int = 1,
     # every sliding-window program ships validated too: a freshly-built
     # live pipeline (same factory, same key) must reproduce the
     # deserialized one
-    for shape, entry in loaded.sw_entries.items():
+    if loaded.sw_entries:
         from .infer import make_sliding_window_fn
 
         tile_fn, tile_rng, out_mult = _tile_head(model, mc_iter, tta)
+    for shape, entry in loaded.sw_entries.items():
         live = make_sliding_window_fn(
             tile_fn, full_spatial=shape,
             window=tuple(int(d) for d in model.input_spatial_dims),

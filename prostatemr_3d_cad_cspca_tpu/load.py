@@ -11,10 +11,10 @@ ensemble, reference train_model.py:101-104):
 
 from __future__ import annotations
 
-__all__ = ["load_model"]
+__all__ = ["load_model_spec"]
 
 
-def load_model(spec: str, seed: int = 0, allow_artifact: bool = False):
+def load_model_spec(spec: str, seed: int = 0, allow_artifact: bool = False):
     """Resolve a --MODEL argument to a loaded model object."""
     paths = [p.strip() for p in str(spec).split(",") if p.strip()]
     if not paths:

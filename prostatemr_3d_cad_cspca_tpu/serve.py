@@ -479,18 +479,20 @@ def _load_case(row: Dict[str, str], train_obj: str, channels: int,
 
 def run(args) -> List[Dict]:
     from .data.manifest import read_manifest
-    from .load import load_model
+    from .load import load_model_spec
     from .train.metrics import extract_lesion_candidates
 
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
-    model = load_model(args.MODEL, seed=args.SEED, allow_artifact=True)
+    if str(args.MODEL).endswith(".zip") and \
+            int(getattr(args, "DATA_PARALLEL", 0)) > 1:
+        # fail before deserializing the artifact's StableHLO blobs
+        raise ValueError(
+            "--DATA_PARALLEL needs a live checkpoint; AOT artifacts "
+            "run the program as exported (single device)")
+    model = load_model_spec(args.MODEL, seed=args.SEED, allow_artifact=True)
     if hasattr(model, "sw_entries"):  # AOT artifact (export.ExportedModel)
         # The inference program — MC / TTA / ensemble / transfer slimming —
         # was baked at export time, so the corresponding flags are inert.
-        if int(getattr(args, "DATA_PARALLEL", 0)) > 1:
-            raise ValueError(
-                "--DATA_PARALLEL needs a live checkpoint; AOT artifacts "
-                "run the program as exported (single device)")
         inert = [f for f, dv in (("MC_ITER", 1), ("TTA", 0),
                                  ("TRANSFER_DTYPE", "float32"),
                                  ("TRANSFER_CHANNELS", "all"))

@@ -113,3 +113,35 @@ def test_evaluate_cascaded_and_zonal_mc(tmp_path):
     b = evaluate.main(["--MODEL", zckpt, "--MANIFEST", man,
                        "--TRAIN_OBJ", "zonal", "--PROBA_ITER", "4"])
     assert a["dice_mean"] != b["dice_mean"]  # MC averaging took effect
+
+
+def test_evaluate_cascaded_second_exam_column(tmp_path):
+    """A manifest image_path_2 column supplies the cascaded second exam
+    (serve._load_case parity): metrics change vs the exam1-for-both-stages
+    fallback."""
+    tmp = str(tmp_path)
+    man = _mk_data(tmp)
+    rows = []
+    import csv as _csv
+
+    with open(man) as fh:
+        rows = [dict(r) for r in _csv.DictReader(fh)]
+    rng = np.random.default_rng(44)
+    for i, r in enumerate(rows):
+        ip2 = os.path.join(tmp, f"c{i}_img2.npy")
+        np.save(ip2, rng.normal(size=(*SPATIAL, 3)).astype(np.float32))
+        r["image_path_2"] = ip2
+    man2 = os.path.join(tmp, "valid2.csv")
+    with open(man2, "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+
+    casc = M1(input_channels=3, num_classes=2, cascaded="bayes", **ARCH)
+    ckpt = os.path.join(tmp, "c2.npz")
+    casc.save(ckpt)
+    a = evaluate.main(["--MODEL", ckpt, "--MANIFEST", man,
+                       "--TRAIN_OBJ", "lesion"])
+    b = evaluate.main(["--MODEL", ckpt, "--MANIFEST", man2,
+                       "--TRAIN_OBJ", "lesion"])
+    assert a["dice"] != b["dice"]  # the second exam was actually consumed
