@@ -240,12 +240,17 @@ def main():
             return y[..., 1:2]
 
         params_fg = m1fg.init(0)
-        # 4-volume base: 124/128/136 all divide by 4, so the tile is exact
+        # 4-volume base: 124/128 divide by 4, so the tile is exact
         # (a tile-then-slice would transiently hold TWO near-ceiling input
         # buffers and could OOM during setup, not in the program under test)
+        # Sweep measured on-chip (benchmarks/r3_probe_slim.py): fgout
+        # b120/124/128 ~203-204 ms, b136 falls off a cliff (411 ms — HBM
+        # spill), b144 RESOURCE_EXHAUSTED; an fp16 output cast on top adds
+        # nothing (activations bind past b128, not the output buffer).
+        # So the sweep stops at the measured knee.
         base_fg = np.random.default_rng(0).normal(
             size=(4, 20, 160, 160, 3)).astype(np.float32)
-        for batch in (124, 128, 136):
+        for batch in (124, 128):
             if _time_left() < 120:
                 break
             xf = None
