@@ -3,9 +3,15 @@ inference), run on the real TPU chip in its own process (the device tunnel
 wedges when multiple large programs share a process — see extended_bench).
 
 Prints one JSON line:
-  cfg1 (plain attention U-Net): fp32_b8 / bf16_b32 / bf16_b64 vol/s +
-       MFU vs the measured on-chip matmul ceiling + HBM roofline fraction
-  cfg2 (dense-skip + deep supervision): bf16_b4 (BASELINE wording) / bf16_b32
+  cfg1 (plain attention U-Net): bf16 b64/96/120 sweep, then the
+       foreground-output b124/128 points (the headline — the halved output
+       buffer clears the b120 HBM ceiling), then fp32_b8; MFU vs the
+       measured on-chip matmul ceiling + HBM roofline fraction
+  cfg2 (dense-skip + deep supervision): bf16_b4 (BASELINE wording) /
+       bf16_b32 / bf16_b112
+
+``--sections cfg1,fgout,cfg2`` (default all) restricts the run — bench.py
+uses it to re-attempt sections a timed-out first pass missed.
 """
 
 from __future__ import annotations
@@ -59,6 +65,11 @@ def _measure(fn, args, iters=10, warmup=2):
 
 
 def main():
+    sections = {"cfg1", "fgout", "cfg2"}
+    if "--sections" in sys.argv:
+        sections = set(
+            sys.argv[sys.argv.index("--sections") + 1].split(","))
+
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -79,16 +90,20 @@ def main():
             dense_skip=dense, deep_supervision=ds,
             dropout_rate=0.0, summary=False, dtype=dtype, init_params=False)
 
-    t0 = time.perf_counter()
-    fp32 = build(None)
-    params = fp32.init(0)
-    print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    flops_per_vol = None
+    if "cfg1" in sections:
+        t0 = time.perf_counter()
+        fp32 = build(None)
+        params = fp32.init(0)
+        print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
 
-    # FLOPs per volume (shape-only trace; counted once, cfg1 arch)
-    flops_per_vol = count_matmul_flops(
-        lambda p, v: fp32.net.apply({"params": p}, v, train=False)["y_softmax"],
-        params, jnp.zeros((1, 20, 160, 160, 3)))
-    results["cfg1_model_gflops_per_volume"] = round(flops_per_vol / 1e9, 1)
+        # FLOPs per volume (shape-only trace; counted once, cfg1 arch)
+        flops_per_vol = count_matmul_flops(
+            lambda p, v: fp32.net.apply(
+                {"params": p}, v, train=False)["y_softmax"],
+            params, jnp.zeros((1, 20, 160, 160, 3)))
+        results["cfg1_model_gflops_per_volume"] = round(flops_per_vol / 1e9, 1)
 
     best = (0.0, None)
     bf16_points = []  # (batch, sec/iter) for the slope fit below
@@ -129,17 +144,13 @@ def main():
     # bf16 sweep FIRST (the headline), fp32_b8 LAST and deadline-gated: its
     # 500 s compile ate the round-2 bench budget (VERDICT r2 item 1).
     # Batch sweep caps at 120: b124+ is HBM RESOURCE_EXHAUSTED on this chip
-    # and the per-program cost dominates below b96 (docs/ROUND2_NOTES.md).
-    for tag, dtype, batch in (("bf16_b64", jnp.bfloat16, 64),
-                              ("bf16_b96", jnp.bfloat16, 96),
-                              ("bf16_b120", jnp.bfloat16, 120),
-                              ("fp32_b8", None, 8)):
-        if tag == "fp32_b8":
-            _update_mfu()
-            print(json.dumps(results), flush=True)  # partial record
-            if _time_left() < 240:
-                print("# skipping fp32_b8 (deadline)", file=sys.stderr, flush=True)
-                break
+    # (the fgout section below clears that ceiling with a halved output
+    # buffer) and the per-program cost dominates below b96
+    # (docs/ROUND2_NOTES.md).
+    cfg1_plan = (("bf16_b64", jnp.bfloat16, 64),
+                 ("bf16_b96", jnp.bfloat16, 96),
+                 ("bf16_b120", jnp.bfloat16, 120)) if "cfg1" in sections else ()
+    for tag, dtype, batch in cfg1_plan:
         net = (fp32 if dtype is None else build(dtype)).net
 
         @jax.jit
@@ -167,21 +178,87 @@ def main():
         # this tunnel) must not void completed measurements
         print(json.dumps(results), flush=True)
 
-    _update_mfu()
+    if "cfg1" in sections:
+        _update_mfu()
+        print(json.dumps(results), flush=True)
+
+    import gc
+
+    # Free cfg1's device buffers before the near-ceiling fgout batches:
+    # the still-resident b120 input (3.7 GB bf16) plus a b128 input would
+    # not fit (same in-process OOM as the cfg2 b112 point, see below).
+    try:
+        del x, detect
+    except NameError:
+        pass
+    gc.collect()
+
+    # ---- cfg1 foreground-only output: past the b120 HBM ceiling -----------
+    # The standard cfg1 program materializes a 983 MB fp32 2-channel output
+    # at b120 and b124+ is RESOURCE_EXHAUSTED. Serving's EXACT
+    # foreground-only transfer (softmax bg reconstructed host-side as
+    # 1 - fg, serve.py --TRANSFER_CHANNELS foreground) halves that buffer
+    # inside the same program, so larger batches fit. Served product is
+    # identical fp32 probabilities. This section produces the HEADLINE
+    # (b128 measured 628.8 vol/s, r3_probe_slim.py), so it runs directly
+    # after the bf16 sweep — before fp32_b8 and cfg2.
+    if "fgout" in sections and _time_left() > 150:
+        m1fg = build(jnp.bfloat16)
+        net_fg = m1fg.net
+
+        @jax.jit
+        def detect_fg(p, v):
+            y = net_fg.apply({"params": p}, v, train=False)["y_softmax"]
+            return y[..., 1:2]
+
+        params_fg = m1fg.init(0)
+        # 4-volume base: 124/128 divide by 4, so the tile is exact
+        # (a tile-then-slice would transiently hold TWO near-ceiling input
+        # buffers and could OOM during setup, not in the program under test)
+        # Sweep measured on-chip (benchmarks/r3_probe_slim.py): fgout
+        # b120/124/128 ~203-204 ms, b136 falls off a cliff (411 ms — HBM
+        # spill), b144 RESOURCE_EXHAUSTED; an fp16 output cast on top adds
+        # nothing (activations bind past b128, not the output buffer).
+        # So the sweep stops at the measured knee.
+        base_fg = np.random.default_rng(0).normal(
+            size=(4, 20, 160, 160, 3)).astype(np.float32)
+        for batch in (124, 128):
+            if _time_left() < 90:
+                break
+            xf = None
+            try:
+                xf = jnp.tile(jnp.asarray(base_fg, jnp.bfloat16),
+                              (batch // 4, 1, 1, 1, 1))
+                dt = _measure(detect_fg, (params_fg, xf), iters=8)
+            except Exception as e:  # RESOURCE_EXHAUSTED / helper 500
+                print(f"# cfg1 fgout b{batch} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", file=sys.stderr, flush=True)
+                del xf
+                gc.collect()
+                break
+            vps = batch / dt
+            print(f"# cfg1 fgout b{batch}: {dt*1e3:.1f} ms/iter -> "
+                  f"{vps:.1f} vol/s", file=sys.stderr, flush=True)
+            results[f"cfg1_bf16_b{batch}_fgout"] = round(vps, 3)
+            del xf
+            gc.collect()
+            print(json.dumps(results), flush=True)
+        try:
+            del m1fg, net_fg, detect_fg, params_fg, base_fg
+        except NameError:
+            pass
+        gc.collect()
+
     print(json.dumps(results), flush=True)
 
     # ---- config 2: dense-skip + deep supervision ---------------------------
     # Free cfg1's device buffers first: the b112 sweep point needs the HBM
     # that cfg1's b120 input still holds (probe-verified to fit standalone;
     # OOM'd in-process without this release).
-    try:
-        del x, detect, params, fp32
-    except NameError:
-        pass
-    import gc
-
+    # (params/fp32 stay alive for the deadline-gated fp32_b8 point below —
+    # they are small next to the activation/input buffers freed above)
     gc.collect()
-    if _time_left() > 120:
+    if "cfg2" in sections and _time_left() > 120:
         m2 = build(jnp.bfloat16, dense=True, ds=True)
         net2 = m2.net
         params2 = m2.init(0)
@@ -217,60 +294,43 @@ def main():
             results[f"cfg2_dense_ds_bf16_{tag}"] = round(batch / dt, 3)
             del x2
             gc.collect()
-    else:
+    elif "cfg2" in sections:
         print("# skipping cfg2 (deadline)", file=sys.stderr, flush=True)
 
     print(json.dumps(results), flush=True)
 
-    # ---- cfg1 foreground-only output: past the b120 HBM ceiling? ----------
-    # The standard cfg1 program materializes a 983 MB fp32 2-channel output
-    # at b120 and b124+ is RESOURCE_EXHAUSTED. Serving's EXACT
-    # foreground-only transfer (softmax bg reconstructed host-side as
-    # 1 - fg, serve.py --TRANSFER_CHANNELS foreground) halves that buffer
-    # inside the same program, so larger batches may now fit. Served
-    # product is identical fp32 probabilities; runs LAST so a compile
-    # flake cannot crowd out the recorded configs above.
-    if _time_left() > 240:
-        m1fg = build(jnp.bfloat16)
-        net_fg = m1fg.net
+    # ---- cfg1 fp32_b8 (reference-recipe precision point) ------------------
+    # LAST and deadline-gated: its ~500 s fresh compile ate the round-2
+    # bench budget once (VERDICT r2 item 1); every figure above outranks it.
+    if "cfg1" in sections and _time_left() > 240:
+        try:
+            del m2, net2, params2, detect2, base2
+        except NameError:
+            pass
+        gc.collect()
+
+        net_fp32 = fp32.net
 
         @jax.jit
-        def detect_fg(p, v):
-            y = net_fg.apply({"params": p}, v, train=False)["y_softmax"]
-            return y[..., 1:2]
+        def detect_fp32(p, v):
+            return net_fp32.apply(
+                {"params": p}, v, train=False)["y_softmax"][..., :2]
 
-        params_fg = m1fg.init(0)
-        # 4-volume base: 124/128 divide by 4, so the tile is exact
-        # (a tile-then-slice would transiently hold TWO near-ceiling input
-        # buffers and could OOM during setup, not in the program under test)
-        # Sweep measured on-chip (benchmarks/r3_probe_slim.py): fgout
-        # b120/124/128 ~203-204 ms, b136 falls off a cliff (411 ms — HBM
-        # spill), b144 RESOURCE_EXHAUSTED; an fp16 output cast on top adds
-        # nothing (activations bind past b128, not the output buffer).
-        # So the sweep stops at the measured knee.
-        base_fg = np.random.default_rng(0).normal(
-            size=(4, 20, 160, 160, 3)).astype(np.float32)
-        for batch in (124, 128):
-            if _time_left() < 120:
-                break
-            xf = None
-            try:
-                xf = jnp.tile(jnp.asarray(base_fg, jnp.bfloat16),
-                              (batch // 4, 1, 1, 1, 1))
-                dt = _measure(detect_fg, (params_fg, xf), iters=8)
-            except Exception as e:  # RESOURCE_EXHAUSTED / helper 500
-                print(f"# cfg1 fgout b{batch} FAILED: {type(e).__name__}: "
-                      f"{str(e)[:160]}", file=sys.stderr, flush=True)
-                del xf
-                gc.collect()
-                break
-            vps = batch / dt
-            print(f"# cfg1 fgout b{batch}: {dt*1e3:.1f} ms/iter -> "
-                  f"{vps:.1f} vol/s", file=sys.stderr, flush=True)
-            results[f"cfg1_bf16_b{batch}_fgout"] = round(vps, 3)
-            del xf
-            gc.collect()
-            print(json.dumps(results), flush=True)
+        base8 = np.random.default_rng(0).normal(
+            size=(8, 20, 160, 160, 3)).astype(np.float32)
+        try:
+            t0 = time.perf_counter()
+            dt = _measure(detect_fp32, (params, jnp.asarray(base8)))
+            vps = 8 / dt
+            print(f"# cfg1 fp32_b8: {dt*1e3:.1f} ms/iter -> {vps:.1f} vol/s "
+                  f"(compile+run {time.perf_counter()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+            results["cfg1_fp32_b8"] = round(vps, 3)
+        except Exception as e:
+            print(f"# cfg1 fp32_b8 FAILED: {type(e).__name__}: "
+                  f"{str(e)[:160]}", file=sys.stderr, flush=True)
+    elif "cfg1" in sections:
+        print("# skipping fp32_b8 (deadline)", file=sys.stderr, flush=True)
 
     print(json.dumps(results), flush=True)
 
