@@ -55,28 +55,65 @@ def _parse_last_json(text: str):
     return None
 
 
+FIRST_OUTPUT_S = float(os.environ.get("BENCH_FIRST_OUTPUT_S", "150"))
+
+
 def _run_worker(argv, timeout):
     """Run a bench worker; return its last parseable JSON line (or {}).
 
     Workers print their cumulative results JSON after each section, so even
-    a timed-out worker yields its completed sections (TimeoutExpired carries
-    the captured partial stdout).
+    a timed-out worker yields its completed sections.
+
+    Wedge watchdog: a tunnel-wedged worker hangs in device init and prints
+    NOTHING (observed: 480 s of silence, then a fresh process recovered in
+    10 s), while a healthy worker prints its first line within ~30 s even
+    on a cold compile. So a worker that produces no output at all within
+    FIRST_OUTPUT_S is killed early — the retry in a fresh process gets the
+    budget the wedge would have burned.
     """
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
     env["BENCH_DEADLINE"] = str(T_START + BUDGET_S)
-    try:
-        proc = subprocess.run(
-            [sys.executable, *argv], capture_output=True, text=True,
-            timeout=timeout, cwd=HERE, env=env)
-        sys.stderr.write(proc.stderr[-3000:] if proc.stderr else "")
-        out = proc.stdout or ""
-    except subprocess.TimeoutExpired as e:
-        print(f"# worker {argv[-1] if argv else ''} timed out after {timeout}s",
-              file=sys.stderr, flush=True)
-        out = e.stdout or b""
-        if isinstance(out, bytes):
-            out = out.decode(errors="replace")
+    import tempfile
+    with tempfile.TemporaryFile("w+") as fout, \
+            tempfile.TemporaryFile("w+") as ferr:
+        proc = subprocess.Popen(
+            [sys.executable, *argv], stdout=fout, stderr=ferr,
+            text=True, cwd=HERE, env=env)
+        t0 = time.time()
+        timed_out = False
+
+        def _progressed():
+            # stdout bytes = a results JSON landed; stderr "# " = a worker
+            # progress line ("# init: ...") — the xla_bridge WARNING alone
+            # does NOT count: it prints seconds into a wedged init too.
+            if os.fstat(fout.fileno()).st_size > 0:
+                return True
+            ferr.seek(0)
+            return any(ln.startswith("# ") for ln in ferr.read().splitlines())
+
+        while proc.poll() is None:
+            elapsed = time.time() - t0
+            if elapsed > timeout:
+                timed_out = True
+                break
+            if elapsed > FIRST_OUTPUT_S and not _progressed():
+                print(f"# worker {argv[-1]} no progress for {elapsed:.0f}s "
+                      "— wedge suspected, killing early",
+                      file=sys.stderr, flush=True)
+                timed_out = True
+                break
+            time.sleep(2.0)
+        if timed_out:
+            print(f"# worker {argv[-1] if argv else ''} killed after "
+                  f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+            proc.kill()
+            proc.wait()
+        fout.seek(0)
+        ferr.seek(0)
+        out = fout.read()
+        err = ferr.read()
+    sys.stderr.write(err[-3000:] if err else "")
     got = _parse_last_json(out)
     if got is None:
         print(f"# worker {argv} produced no JSON", file=sys.stderr, flush=True)

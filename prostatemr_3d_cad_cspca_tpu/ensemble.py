@@ -6,12 +6,14 @@ and its deployed grand-challenge algorithm (reference README.md:6) serves the
 This module provides it TPU-natively:
 
   * ``M1Ensemble`` stacks the K fold checkpoints' parameter pytrees along a
-    leading member axis and ``jax.vmap``s the detect head over it, so all K
-    members run as ONE compiled program. On this toolchain a compiled program
-    execution pays a fixed ~170 ms device cost regardless of content
-    (docs/ROUND2_NOTES.md) — K separate member programs would pay it K times;
-    the vmapped ensemble pays it once, exactly the amortization lever that won
-    every round-2/3 measurement campaign.
+    leading member axis and runs the detect head over it — ``lax.scan`` by
+    default, ``jax.vmap`` optionally — so all K members run as ONE compiled
+    program. On this toolchain a compiled program execution pays a fixed
+    ~170 ms device cost regardless of content (docs/ROUND2_NOTES.md) — K
+    separate member programs would pay it K times; the fused ensemble pays it
+    once, exactly the amortization lever that won every round-2/3 measurement
+    campaign. scan is the default because the vmapped K=5 program exceeds
+    the remote compile helper's limit on the real chip (see the class doc).
   * ``tta_detect`` fuses axial left-right-flip test-time augmentation into the
     same program (the one label-symmetric geometric transform in this anatomy;
     it is also the reference's train-time flip, augmentations.py:156-163):
@@ -101,9 +103,22 @@ class M1Ensemble:
 
     ``reduce=None`` keeps the stacked member axis (leading) for callers that
     want member-level analysis (e.g. inter-member disagreement maps).
+
+    ``method`` selects how the member axis is executed inside the single
+    program: ``"scan"`` (default) runs members sequentially via ``lax.scan``
+    — the compiled graph is ONE member's network regardless of K, and
+    mean/mean_std reductions accumulate in the scan carry so no K-stacked
+    output buffer exists; ``"vmap"`` unrolls all members for cross-member
+    parallelism. Measured on the real chip (benchmarks/r3_probe_ensemble.py):
+    the K=5 vmapped program CRASHES the remote compile helper (HTTP 500,
+    the known 16 GB compile limit — the unrolled graph is 5x the network),
+    while the scan program compiles and pays the ~170 ms fixed program cost
+    once. scan is therefore the production default; vmap remains available
+    for toolchains without the compile-size ceiling.
     """
 
-    def __init__(self, models: Sequence, reduce: Optional[str] = "mean"):
+    def __init__(self, models: Sequence, reduce: Optional[str] = "mean",
+                 method: str = "scan"):
         assert len(models) >= 1
         base = models[0]
         arch_keys = [k for k in base.config
@@ -113,9 +128,11 @@ class M1Ensemble:
                     if m.config.get(k) != base.config.get(k)]
             assert not diff, (
                 f"ensemble members disagree on architecture config: {diff}")
+        assert method in ("scan", "vmap"), method
         self.members = list(models)
         self.num_members = len(models)
         self.reduce = reduce
+        self.method = method
         self.params = stack_params([m.params for m in models])
         # duck-typed M1 surface (serve.InferenceSession contract)
         self.config = dict(base.config)
@@ -127,40 +144,85 @@ class M1Ensemble:
         self._base = base
 
     @classmethod
-    def load(cls, paths: Sequence[str], reduce: Optional[str] = "mean"):
+    def load(cls, paths: Sequence[str], reduce: Optional[str] = "mean",
+             method: str = "scan"):
         """Load fold checkpoints saved by ``M1.save`` / the CLI WeightsSaver."""
         from .models.m1 import M1
 
-        return cls([M1.load(p) for p in paths], reduce=reduce)
+        return cls([M1.load(p) for p in paths], reduce=reduce, method=method)
 
     def get_detect_model(self) -> Callable:
         """``detect(stacked_params, inputs, rng=None) -> member-mean probs``.
 
-        vmaps the single-member detect head (M1.get_detect_model,
-        models/m1.py) over the member axis of ``params`` — inputs broadcast,
-        per-member rng via fold_in — then averages on device. Cascaded
-        members return the reference's (stage-1, stage-2) tuple; each element
-        is member-averaged.
+        Runs the single-member detect head (M1.get_detect_model, models/m1.py)
+        over the member axis of ``params`` — inputs broadcast, per-member rng
+        via fold_in — then averages on device. Cascaded members return the
+        reference's (stage-1, stage-2) tuple; each element is member-averaged.
+        See the class docstring for the scan-vs-vmap execution choice.
         """
         member_detect = self._base.get_detect_model()
         k = self.num_members
         reduce = self.reduce
 
+        method = self.method
+
         def detect(params, inputs, rng: Optional[jax.Array] = None):
             if rng is None:
-                stacked = jax.vmap(
-                    lambda p: member_detect(p, inputs))(params)
+                xs = params
+                call = lambda p: member_detect(p, inputs)  # noqa: E731
             else:
                 keys = jax.vmap(
                     lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
-                stacked = jax.vmap(
-                    lambda p, r: member_detect(p, inputs, rng=r)
-                )(params, keys)
-            if reduce == "mean":
-                return jax.tree.map(lambda s: jnp.mean(s, axis=0), stacked)
-            if reduce == "mean_std":
-                return (jax.tree.map(lambda s: jnp.mean(s, axis=0), stacked),
+                xs = (params, keys)
+                call = lambda pr: member_detect(  # noqa: E731
+                    pr[0], inputs, rng=pr[1])
+
+            if method == "vmap":
+                stacked = jax.vmap(call)(xs)
+                if reduce == "mean":
+                    return jax.tree.map(lambda s: jnp.mean(s, axis=0), stacked)
+                if reduce == "mean_std":
+                    return (
+                        jax.tree.map(lambda s: jnp.mean(s, axis=0), stacked),
                         jax.tree.map(lambda s: jnp.std(s, axis=0), stacked))
+                return stacked
+
+            # scan: one member's graph compiled once; mean/mean_std
+            # accumulate in the carry, so HBM never holds a K-stacked
+            # output. mean_std uses a Welford update — the naive
+            # E[x^2] - mean^2 form loses ~4 decimal digits to fp32
+            # cancellation on near-agreeing members (measured 1.9e-4 abs
+            # error vs jnp.std; Welford matches to 1e-6).
+            if reduce in ("mean", "mean_std"):
+                out_sds = jax.eval_shape(
+                    call, jax.tree.map(lambda x: x[0], xs))
+                zero = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), out_sds)
+
+                def body(carry, ix):
+                    i, x = ix
+                    out = call(x)
+                    mean, m2 = carry
+                    delta = jax.tree.map(jnp.subtract, out, mean)
+                    mean = jax.tree.map(
+                        lambda m, d: m + d / (i + 1).astype(d.dtype),
+                        mean, delta)
+                    if reduce == "mean_std":
+                        m2 = jax.tree.map(
+                            lambda a, d, o, m: a + d * (o - m),
+                            m2, delta, out, mean)
+                    return (mean, m2), None
+
+                (mean, m2), _ = jax.lax.scan(
+                    body, (zero, zero), (jnp.arange(k), xs))
+                if reduce == "mean":
+                    return mean
+                # biased (ddof=0) like jnp.std
+                std = jax.tree.map(lambda a: jnp.sqrt(a / k), m2)
+                return mean, std
+
+            # reduce=None: keep the member axis; scan stacks ys along axis 0
+            _, stacked = jax.lax.scan(lambda c, x: (None, call(x)), None, xs)
             return stacked
 
         return detect

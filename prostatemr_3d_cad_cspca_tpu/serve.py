@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--MODEL", type=str, required=True,
                    help="checkpoint path (M1.save / CLI WeightsSaver output); "
                         "comma-separate K fold checkpoints to serve their "
-                        "ensemble as ONE vmapped program (ensemble.M1Ensemble); "
+                        "ensemble as ONE compiled program (ensemble.M1Ensemble); "
                         "or an AOT artifact .zip (export.py) for "
                         "model-code-free window-sized serving")
     p.add_argument("--MANIFEST", type=str, required=True,

@@ -64,6 +64,34 @@ def test_ensemble_reduce_modes():
     assert float(np.asarray(std).max()) > 0  # different seeds must disagree
 
 
+def test_ensemble_scan_equals_vmap_all_reduce_modes():
+    """The production scan path (O(1)-size program — the vmapped K=5
+    program crashes the real chip's compile helper, class docstring) must be
+    numerically identical to the vmapped path for every reduce mode."""
+    members = [_mk_model(seed=s) for s in (0, 1, 2)]
+    x = _batch()
+    for reduce in (None, "mean", "mean_std"):
+        scan = M1Ensemble(members, reduce=reduce, method="scan").predict(x)
+        vmap = M1Ensemble(members, reduce=reduce, method="vmap").predict(x)
+        for a, b in zip(jax.tree.leaves(scan), jax.tree.leaves(vmap)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
+
+
+def test_ensemble_scan_equals_vmap_with_rng():
+    """Member rng fold_in draws must not depend on the execution method."""
+    members = [_mk_model(seed=s, dropout_mode="monte-carlo",
+                         dropout_rate=0.5) for s in (0, 1)]
+    x = _batch(b=1, seed=3)
+    key = jax.random.PRNGKey(7)
+    outs = []
+    for method in ("scan", "vmap"):
+        ens = M1Ensemble(members, method=method)
+        outs.append(np.asarray(ens.get_detect_model()(ens.params, x,
+                                                      rng=key)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6, rtol=1e-6)
+
+
 def test_ensemble_rejects_config_mismatch():
     a = _mk_model(seed=0)
     b = _mk_model(seed=1, dense_skip=not a.config.get("dense_skip", True))
