@@ -85,12 +85,18 @@ def _run_worker(argv, timeout):
 
         def _progressed():
             # stdout bytes = a results JSON landed; stderr "# " = a worker
-            # progress line ("# init: ...") — the xla_bridge WARNING alone
-            # does NOT count: it prints seconds into a wedged init too.
+            # progress line ("# init: ...", printed ~1 s after device init
+            # by every worker) — the xla_bridge WARNING alone does NOT
+            # count: it prints seconds into a wedged init too. Read the
+            # child's live stderr with pread (no shared-offset seek) and
+            # tolerate partially-flushed multi-byte sequences (ADVICE r3).
             if os.fstat(fout.fileno()).st_size > 0:
                 return True
-            ferr.seek(0)
-            return any(ln.startswith("# ") for ln in ferr.read().splitlines())
+            size = os.fstat(ferr.fileno()).st_size
+            if not size:
+                return False
+            text = os.pread(ferr.fileno(), size, 0).decode(errors="replace")
+            return any(ln.startswith("# ") for ln in text.splitlines())
 
         while proc.poll() is None:
             elapsed = time.time() - t0
@@ -124,25 +130,35 @@ def _run_worker(argv, timeout):
 LAST_GOOD = os.path.join(HERE, "benchmarks", "last_bench.json")
 
 
-def _emit(detail, skipped):
+def _emit(detail, skipped, failed):
     """(Re-)print the headline JSON line from the current detail dict."""
     headline = max(
         (v for k, v in detail.items()
          if k.startswith("cfg1_") and isinstance(v, (int, float))
          and ("_b" in k)), default=0.0)
     vs_baseline = None
+    base_abs = None
     baseline_path = os.path.join(HERE, "benchmarks", "baseline_tf_cpu.json")
     if os.path.exists(baseline_path) and headline:
         with open(baseline_path) as f:
             base = json.load(f)
         if base.get("volumes_per_sec"):
-            vs_baseline = headline / float(base["volumes_per_sec"])
+            base_abs = float(base["volumes_per_sec"])
+            vs_baseline = headline / base_abs
     out = {
         "metric": "bpMRI volumes/sec/chip (M1 20x160x160x3 inference)",
         "value": round(headline, 3),
         "unit": "volumes/sec/chip",
+        # vs_baseline is a RATIO: headline / measured TF-CPU reference
+        # throughput. Kept under the legacy key for driver compatibility;
+        # the self-describing alias + the baseline's absolute figure live
+        # in detail (VERDICT r3 item 7).
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": dict(detail, skipped=skipped,
+        "detail": dict(detail,
+                       speedup_vs_tf_cpu=(round(vs_baseline, 3)
+                                          if vs_baseline else None),
+                       tf_cpu_baseline_vols_per_sec=base_abs,
+                       skipped=skipped, failed=failed,
                        elapsed_s=round(time.time() - T_START, 1)),
     }
     print(json.dumps(out), flush=True)
@@ -181,23 +197,28 @@ def _emit_stale_fallback():
 
 def main():
     detail = {}
-    skipped = []
+    skipped = []   # never attempted (budget gate)
+    failed = []    # attempted (incl. one retry) and produced no JSON
     ext = os.path.join(HERE, "benchmarks", "extended_bench.py")
     core = os.path.join(HERE, "benchmarks", "bench_core.py")
 
-    # (worker argv, min seconds of budget to even attempt it, settle delay)
+    # (name, worker argv, min seconds of budget to even attempt it, settle)
     # Order = value-at-risk under tunnel flakiness (a single program has been
     # observed to recompile server-side for ~475 s despite the warm local
-    # cache): core headline first, then the training step, then the K-case
-    # sliding window (the round-3 highlight; ~90 s warm), then MC sampling,
-    # then the expensive b-variants.
+    # cache): the cfg1 headline first, then GUARANTEED slots for the
+    # BASELINE configs 4/5/3 that three rounds of records missed (VERDICT
+    # r3 item 1) — cfg2 / the b-variants / fp32_b8 only run with whatever
+    # budget remains.
     plan = [
-        ([core], 120, 0),
-        ([ext, "--only", "config4"], 150, 10),
-        ([ext, "--only", "config5"], 90, 10),
-        ([ext, "--only", "config3"], 90, 10),
-        ([ext, "--only", "config5b"], 90, 10),
-        ([ext, "--only", "config4b"], 120, 10),
+        ("core", [core, "--sections", "cfg1,fgout"], 120, 0),
+        ("config4s", [ext, "--only", "config4s"], 120, 10),
+        ("config4", [ext, "--only", "config4"], 120, 10),
+        ("config5", [ext, "--only", "config5"], 90, 10),
+        ("config3", [ext, "--only", "config3"], 90, 10),
+        ("cfg2", [core, "--sections", "cfg2"], 90, 10),
+        ("config5b", [ext, "--only", "config5b"], 90, 10),
+        ("config4b", [ext, "--only", "config4b"], 90, 10),
+        ("fp32", [core, "--sections", "fp32"], 260, 10),
     ]
     # A worker has been observed to HARD-HANG on its first program (the
     # tunnel wedges; observed round 2 and again round 3 — a full-budget
@@ -205,9 +226,8 @@ def main():
     # recovers. So cap each first attempt well below the global budget and
     # retry once with whatever remains when a worker returns no JSON.
     ATTEMPT_CAP_S = float(os.environ.get("BENCH_ATTEMPT_CAP_S", "480"))
-    for argv, min_need, settle in plan:
+    for name, argv, min_need, settle in plan:
         rem = _remaining()
-        name = argv[-1] if argv[-1].startswith("config") else "core"
         if rem < min_need + settle:
             skipped.append(name)
             continue
@@ -219,10 +239,14 @@ def main():
             print(f"# retrying {name} in a fresh process", file=sys.stderr,
                   flush=True)
             got = _run_worker(argv, timeout=max(_remaining(), 30))
+        if not got:
+            # attempted and still no JSON: record the failure — detail ∪
+            # skipped ∪ failed must cover the full plan (VERDICT r3, Weak 1)
+            failed.append(name)
         detail.update(got)
-        _emit(detail, skipped)
+        _emit(detail, skipped, failed)
 
-    if not _emit(detail, skipped):
+    if not _emit(detail, skipped, failed):
         _emit_stale_fallback()
 
 

@@ -65,7 +65,7 @@ def _measure(fn, args, iters=10, warmup=2):
 
 
 def main():
-    sections = {"cfg1", "fgout", "cfg2"}
+    sections = {"cfg1", "fgout", "cfg2", "fp32"}
     if "--sections" in sys.argv:
         sections = set(
             sys.argv[sys.argv.index("--sections") + 1].split(","))
@@ -109,6 +109,8 @@ def main():
     bf16_points = []  # (batch, sec/iter) for the slope fit below
 
     def _update_mfu():
+        if flops_per_vol is None or best[1] is None:
+            return  # fgout-only re-attempt: no FLOP count in this process
         results["cfg1_mfu_vs_measured_ceiling"] = round(
             best[0] * flops_per_vol / MEASURED_MATMUL_CEILING, 4)
         results["cfg1_hbm_roofline_note"] = (
@@ -240,9 +242,12 @@ def main():
             print(f"# cfg1 fgout b{batch}: {dt*1e3:.1f} ms/iter -> "
                   f"{vps:.1f} vol/s", file=sys.stderr, flush=True)
             results[f"cfg1_bf16_b{batch}_fgout"] = round(vps, 3)
+            if vps > best[0]:  # fgout b128 IS the headline: keep best/MFU
+                best = (vps, f"cfg1_bf16_b{batch}_fgout")  # consistent with it
             del xf
             gc.collect()
             print(json.dumps(results), flush=True)
+        _update_mfu()
         try:
             del m1fg, net_fg, detect_fg, params_fg, base_fg
         except NameError:
@@ -300,14 +305,19 @@ def main():
     print(json.dumps(results), flush=True)
 
     # ---- cfg1 fp32_b8 (reference-recipe precision point) ------------------
-    # LAST and deadline-gated: its ~500 s fresh compile ate the round-2
-    # bench budget once (VERDICT r2 item 1); every figure above outranks it.
-    if "cfg1" in sections and _time_left() > 240:
+    # Its OWN section ("fp32"), run LAST by bench.py and deadline-gated: its
+    # ~500 s fresh compile ate the round-2 bench budget once (VERDICT r2
+    # item 1); every figure above outranks it.
+    if "fp32" in sections and _time_left() > 240:
         try:
             del m2, net2, params2, detect2, base2
         except NameError:
             pass
         gc.collect()
+        if "cfg1" not in sections:  # standalone re-attempt: build fresh
+            fp32 = build(None)
+            params = fp32.init(0)
+            print("# init: fp32 model ready", file=sys.stderr, flush=True)
 
         net_fp32 = fp32.net
 
@@ -329,7 +339,7 @@ def main():
         except Exception as e:
             print(f"# cfg1 fp32_b8 FAILED: {type(e).__name__}: "
                   f"{str(e)[:160]}", file=sys.stderr, flush=True)
-    elif "cfg1" in sections:
+    elif "fp32" in sections:
         print("# skipping fp32_b8 (deadline)", file=sys.stderr, flush=True)
 
     print(json.dumps(results), flush=True)

@@ -54,6 +54,17 @@ def main(only=None):
         build_schedule, init_train_state, make_loss, make_optimizer,
         make_train_step)
 
+    # Early liveness probe: bench.py's wedge watchdog kills any worker that
+    # prints NOTHING within FIRST_OUTPUT_S, and this worker's first real
+    # output used to come only after its first (200-475 s) program load —
+    # healthy config3/4/5 workers were killed as "wedged" in round 3
+    # (ADVICE r3). A trivial device op proves the tunnel is alive in ~1 s;
+    # a real init-wedge still hangs BEFORE this line and trips the watchdog.
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.jit(lambda a: a * 2.0)(jnp.ones((8, 128))))
+    print(f"# init: device ready in {time.perf_counter()-t0:.1f}s "
+          f"(worker --only {only})", file=sys.stderr, flush=True)
+
     results = {}
     rng = np.random.default_rng(0)
 
@@ -66,12 +77,14 @@ def main(only=None):
             print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:300]}",
                   file=sys.stderr)
             traceback.print_exc(limit=5)
-            # persist partial results immediately: a wedged device can kill
-            # the rest of the run
-            out_path = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "results_extended.json")
-            with open(out_path, "w") as f:
-                json.dump(results, f, indent=2)
+        # persist + PRINT cumulative results after every section (success or
+        # failure): bench.py parses the last stdout JSON, so a later wedge /
+        # kill must not void completed sections of this worker.
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results_extended.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results), flush=True)
 
     # ---- config 3: probabilistic MC inference ------------------------------
     prob = M1(
@@ -190,6 +203,48 @@ def main(only=None):
     if only == "config4b":
         guarded("config4b", config4b)
 
+    # ---- config 4s: K-step lax.scan training program (bf16) ----------------
+    # The training-side fixed-cost amortization (VERDICT r3 item 2): at b2 a
+    # single step pays the ~172 ms per-program device tax on ~90 ms of
+    # compute. make_train_step(scan_steps=K) runs K full optimizer steps
+    # (fused augmentation + focal/KL + amsgrad update, donated state) in ONE
+    # compiled program; batches are staged device-resident as a (K, B, ...)
+    # stack. Own worker: compiling a second large train program in a process
+    # with another config's state resident wedges the tunnel.
+    def _config4s(K):
+        prob16 = M1(
+            input_spatial_dims=(20, 160, 160), input_channels=4, num_classes=2,
+            filters=(16, 32, 64, 128, 256),
+            strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+            kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+            se_reduction=(8, 8, 8, 8, 8), att_sub_samp=((1, 1, 1),) * 4,
+            probabilistic=True, prob_latent_dims=(3, 2, 1, 0),
+            dropout_mode="monte-carlo", dropout_rate=0.5, summary=False,
+            dtype=jnp.bfloat16)
+        opt16 = make_optimizer("adam", schedule)
+        multi = make_train_step(prob16, make_loss("distribution_focal"),
+                                opt16, elbo_beta=10.0, augment_params=aug,
+                                train_obj="lesion", scan_steps=K)
+        st = {"s": init_train_state(prob16, opt16)}
+        batches = jax.tree_util.tree_map(
+            lambda b: jnp.stack([b] * K), batch)
+        k2 = jax.random.PRNGKey(2)
+
+        def it():
+            st["s"], m = multi(st["s"], batches, k2)
+            return m["loss"]
+
+        _sync(it())
+        dt = _best_of(it, n=2, iters=2)
+        vps = B * K / dt
+        results[f"train_scan_k{K}_bf16_vols_per_sec"] = round(vps, 3)
+        print(f"# config4s bf16 scan K={K} b{B} {dt*1e3:.1f}ms/program "
+              f"({dt/K*1e3:.1f}ms/step) -> {vps:.3f} vol/s", file=sys.stderr,
+              flush=True)
+
+    if only == "config4s":
+        guarded("config4s_k16", lambda: _config4s(16))
+
     # ---- config 5: sliding-window whole-gland full resolution --------------
     det_model = M1(
         input_spatial_dims=(20, 160, 160), input_channels=3, num_classes=2,
@@ -302,7 +357,8 @@ def run_isolated():
 
     here = os.path.abspath(__file__)
     merged = {}
-    for cfg in ("config3", "config4", "config4b", "config5", "config5b"):
+    for cfg in ("config3", "config4", "config4s", "config4b", "config5",
+                "config5b"):
         for attempt in range(2):
             time.sleep(20)  # let the previous process release the device
             proc = subprocess.run(

@@ -199,10 +199,13 @@ class M1Ensemble:
                 zero = jax.tree.map(
                     lambda s: jnp.zeros(s.shape, s.dtype), out_sds)
 
+                # mean-only carries ONLY the mean: a dead m2 zero tree in the
+                # carry would double the carry's HBM footprint on exactly the
+                # path whose purpose is avoiding a K-stacked output buffer.
                 def body(carry, ix):
                     i, x = ix
                     out = call(x)
-                    mean, m2 = carry
+                    mean = carry[0]
                     delta = jax.tree.map(jnp.subtract, out, mean)
                     mean = jax.tree.map(
                         lambda m, d: m + d / (i + 1).astype(d.dtype),
@@ -210,13 +213,15 @@ class M1Ensemble:
                     if reduce == "mean_std":
                         m2 = jax.tree.map(
                             lambda a, d, o, m: a + d * (o - m),
-                            m2, delta, out, mean)
-                    return (mean, m2), None
+                            carry[1], delta, out, mean)
+                        return (mean, m2), None
+                    return (mean,), None
 
-                (mean, m2), _ = jax.lax.scan(
-                    body, (zero, zero), (jnp.arange(k), xs))
+                init = (zero, zero) if reduce == "mean_std" else (zero,)
+                carry, _ = jax.lax.scan(body, init, (jnp.arange(k), xs))
                 if reduce == "mean":
-                    return mean
+                    return carry[0]
+                mean, m2 = carry
                 # biased (ddof=0) like jnp.std
                 std = jax.tree.map(lambda a: jnp.sqrt(a / k), m2)
                 return mean, std

@@ -110,12 +110,20 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     augment_params=None,
     train_obj: str = "lesion",
+    scan_steps: Optional[int] = None,
 ):
     """Build the jitted train step for an M1 model (single-stage or cascaded).
 
     Loss composition mirrors compile(loss=LOSSES, loss_weights=[1, beta])
     (train_model.py:126-131, 230-231) plus the L2 terms the reference attaches
     to every conv (networks.py:47-48) — here folded explicitly via l2_penalty.
+
+    ``scan_steps=K`` returns a MULTI-step program instead: it takes
+    ``(state, batches, rng)`` where every ``batches`` leaf has a leading K
+    axis, runs K full optimizer steps via ``lax.scan`` (fresh fold-in RNG and
+    on-device augmentation per step), and returns ``(state, metrics)`` with
+    metrics stacked (K,). One compiled program per K steps — this is the
+    training-side fixed-program-cost amortization (VERDICT r3 item 2).
     """
     net = model.net
     cfg = model.config
@@ -189,6 +197,38 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if scan_steps is not None:
+        if scan_steps < 1:
+            raise ValueError(f"scan_steps must be >= 1, got {scan_steps}")
+        K = int(scan_steps)
+
+        def multi_step(state: TrainState, batches, rng):
+            """K optimizer steps over K stacked batches in ONE program.
+
+            ``batches`` leaves carry a leading K axis (stack of K per-step
+            batches). Amortizes the fixed per-program device cost the same
+            way the cfg1 inference batch sweep does (docs/ROUND3_NOTES.md:
+            at b2 a single step pays ~172 ms program tax on ~90 ms of
+            compute); the scan carry is the donated TrainState, so XLA
+            updates params/opt-state in place across iterations. Metrics
+            come back stacked (K,) per leaf.
+            """
+            keys = jax.random.split(rng, K)
+
+            def body(st, xs):
+                batch, key = xs
+                return train_step(st, batch, key)
+
+            return jax.lax.scan(body, state, (batches, keys))
+
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            batch_shard = NamedSharding(mesh, P(None, "data"))
+            return jax.jit(multi_step,
+                           in_shardings=(None, batch_shard, repl),
+                           donate_argnums=(0,))
+        return jax.jit(multi_step, donate_argnums=(0,))
+
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         batch_shard = NamedSharding(mesh, P("data"))
@@ -258,6 +298,7 @@ def fit(
     schedule: Optional[Callable] = None,
     metrics_logger=None,
     checkpoint_manager=None,
+    scan_steps: Optional[int] = None,
 ) -> Dict[str, list]:
     """Epoch/step fit loop with WeightsSaver + metrics history.
 
@@ -280,9 +321,17 @@ def fit(
     if len(lw) > 1:
         elbo_beta = float(lw[1])
 
+    if scan_steps is not None and scan_steps > 1 \
+            and steps_per_epoch % scan_steps != 0:
+        raise ValueError(
+            f"scan_steps={scan_steps} must divide steps_per_epoch="
+            f"{steps_per_epoch} (each epoch runs steps_per_epoch/scan_steps "
+            "multi-step programs; pick a divisor)")
+    use_scan = scan_steps is not None and scan_steps > 1
     step_fn = make_train_step(model, seg_loss, optimizer,
                               elbo_beta=elbo_beta, loss_weights=lw, mesh=mesh,
-                              augment_params=augment_params, train_obj=train_obj)
+                              augment_params=augment_params, train_obj=train_obj,
+                              scan_steps=scan_steps if use_scan else None)
     state = init_train_state(model, optimizer)
     rng = jax.random.PRNGKey(seed)
 
@@ -298,12 +347,22 @@ def fit(
     for epoch in range(initial_epoch, epochs):
         t0 = time.perf_counter()
         epoch_metrics: Dict[str, list] = {}
-        for _ in range(steps_per_epoch):
-            batch = next(it)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
-            for k, v in metrics.items():
-                epoch_metrics.setdefault(k, []).append(v)
+        if use_scan:
+            for _ in range(steps_per_epoch // scan_steps):
+                chunk = [next(it) for _ in range(scan_steps)]
+                batches = jax.tree_util.tree_map(
+                    lambda *leaves: jnp.stack(leaves), *chunk)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, batches, step_rng)
+                for k, v in metrics.items():  # v: (scan_steps,) stacked
+                    epoch_metrics.setdefault(k, []).append(v)
+        else:
+            for _ in range(steps_per_epoch):
+                batch = next(it)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, step_rng)
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(k, []).append(v)
         # Materialize once per epoch (keeps the device queue full within it).
         epoch_metrics = {k: float(np.mean(jax.device_get(v))) for k, v in epoch_metrics.items()}
         dt = time.perf_counter() - t0
