@@ -146,14 +146,26 @@ def resample_volume(
     is_label: bool = False,
 ) -> np.ndarray:
     """Spacing-resample a raw numpy volume — the SimpleITK-free twin of
-    ``resample_img`` (reference preprocess.py:52-71 semantics: target size
-    ``round(extent * in/out)`` per axis, spline interpolation for images,
-    nearest-neighbor for label maps).
+    ``resample_img`` (reference preprocess.py:52-71): target size
+    ``round(extent * in/out)`` per axis, cubic B-spline interpolation for
+    images, nearest-neighbor for label maps.
+
+    Sampling convention matches the reference EXACTLY: the origin is
+    unchanged and output voxel ``i`` sits at physical ``i * out_spacing``,
+    i.e. at input-index coordinate ``i * out_spacing / in_spacing``
+    (``SetOutputOrigin(itk_image.GetOrigin())`` + ``SetOutputSpacing``,
+    preprocess.py:60-62). ``scipy.ndimage.map_coordinates(order=3)`` with
+    prefiltering is the same interpolating cubic-B-spline family as
+    ``sitkBSpline``; the quantified agreement bound lives in
+    tests/test_ingest.py::test_resample_analytic_field_bound and
+    docs/PARITY.md. Two documented edge deviations: boundary handling is
+    edge-replicate (sitk mirrors the spline prefilter and fills samples
+    OUTSIDE the input extent with ``GetPixelIDValue()`` — a pixel-TYPE enum,
+    i.e. the reference fills out-of-domain voxels with a constant like 8.0;
+    an unintentional quirk we do not reproduce).
 
     volume: (D, H, W) or (D, H, W, C); spacings are per spatial axis in the
-    same (D, H, W) order. Cubic-spline image interpolation
-    (scipy.ndimage.zoom order=3) stands in for SimpleITK's sitkBSpline;
-    labels use order=0 so class ids are never blended.
+    same (D, H, W) order.
     """
     from scipy import ndimage
 
@@ -165,13 +177,21 @@ def resample_volume(
         int(np.round(extent * (sp / target)))
         for extent, sp, target in zip(volume.shape[:3], in_spacing, out_spacing)
     ]
-    zoom = [n / e for n, e in zip(new_size, volume.shape[:3])]
-    if volume.ndim == 4:  # channel axis untouched
-        zoom = zoom + [1.0]
+    # physical point FIRST, then divide by the input spacing — the same
+    # arithmetic order as sitk's TransformPhysicalPointToContinuousIndex,
+    # so half-integer NN coordinates land on the same side of the fp razor
+    axes = [(np.arange(n, dtype=np.float64) * t) / s
+            for n, s, t in zip(new_size, in_spacing, out_spacing)]
+    coords = np.meshgrid(*axes, indexing="ij")
     order = 0 if is_label else 3
-    out = ndimage.zoom(volume, zoom, order=order,
-                       mode="nearest", grid_mode=True)
-    # zoom() rounds sizes itself; enforce the reference's size formula
+    if volume.ndim == 4:  # channel axis untouched
+        out = np.stack([
+            ndimage.map_coordinates(volume[..., c], coords, order=order,
+                                    mode="nearest")
+            for c in range(volume.shape[3])], axis=-1)
+    else:
+        out = ndimage.map_coordinates(volume, coords, order=order,
+                                      mode="nearest")
     assert list(out.shape[:3]) == new_size, (out.shape, new_size)
     return out.astype(volume.dtype if is_label else np.float32)
 

@@ -173,3 +173,59 @@ def test_ingest_error_paths(tmp_path):
         ingest.ingest_case({"p-id": "x", "image_path": amb,
                             "label_path": "", "zones_path": ""},
                            tmp, size=(4, 8, 8))
+
+
+def test_resample_analytic_field_bound():
+    """Quantified resample parity (VERDICT r3 item 6): on a band-limited
+    analytic field sampled at the reference's bpMRI spacings, the resampled
+    volume matches the TRUE field values at the reference's exact sample
+    locations (output voxel i at physical i*out_spacing, origin unchanged —
+    reference preprocess.py:52-71) to <0.3% of the field amplitude
+    (measured: rel_max 2.0e-3, rel_mean 2.9e-4 — docs/PARITY.md).
+
+    This bounds the total voxel delta vs a perfect resampler under the
+    sitk convention: interpolation error of our cubic B-spline (which
+    sitkBSpline shares — same interpolating-spline family; it dominates
+    this bound at ~7 samples/wavelength on the coarse axis) PLUS any
+    coordinate-convention mismatch. The old zoom(grid_mode=True) convention
+    carried a (out-in)/2 grid-alignment offset on spacing-changing axes and
+    fails this bound 6x over (measured rel_max 1.27e-2).
+    """
+    # smooth field: wavelengths >= ~6 voxels on the coarsest axis
+    def field(z, y, x):  # physical mm coordinates
+        return (np.sin(2 * np.pi * z / 25.0)
+                + np.cos(2 * np.pi * y / 7.0)
+                + np.sin(2 * np.pi * (x + 0.3 * y) / 9.0))
+
+    in_sp = (3.6, 0.5, 0.5)    # typical raw bpMRI spacing (D, H, W)
+    out_sp = (3.0, 0.5, 0.5)   # reference resample target
+    n_in = (20, 96, 96)
+    zz, yy, xx = np.meshgrid(*[np.arange(n) * s for n, s in zip(n_in, in_sp)],
+                             indexing="ij")
+    vol = field(zz, yy, xx).astype(np.float32)
+
+    out = resample_volume(vol, in_sp, out_sp)
+    n_out = out.shape
+    zo, yo, xo = np.meshgrid(
+        *[np.arange(n) * s for n, s in zip(n_out, out_sp)], indexing="ij")
+    truth = field(zo, yo, xo)
+
+    # interior only: the outermost voxel ring is governed by boundary
+    # handling, where our edge-replicate deliberately deviates from the
+    # reference's fill-with-pixel-type-enum quirk (see resample_volume doc)
+    sl = (slice(2, -2),) * 3
+    err = np.abs(out[sl] - truth[sl])
+    amp = truth.max() - truth.min()
+    assert err.max() / amp < 3e-3, (err.max(), amp)
+    assert err.mean() / amp < 5e-4, (err.mean(), amp)
+
+    # label path: NN at the same locations — every output voxel must carry
+    # the value of its nearest input voxel under the sitk coordinate map
+    lab = (vol > 0.5).astype(np.uint8) * 3
+    rl = resample_volume(lab, in_sp, out_sp, is_label=True)
+    # half-integer coordinates round HALF-UP (floor(x+0.5)) — scipy order=0
+    # and ITK's RoundHalfIntegerUp agree; np.round (half-to-even) does not
+    ji = [np.clip(np.floor(np.arange(n) * t / s + 0.5), 0, m - 1).astype(int)
+          for n, s, t, m in zip(n_out, in_sp, out_sp, n_in)]
+    np.testing.assert_array_equal(
+        rl, lab[np.ix_(ji[0], ji[1], ji[2])])
