@@ -64,7 +64,8 @@ def build_tf():
         strides=STRIDES, kernels=KERNELS, se_reduction=SE_RED)
 
 
-def run_tf(tf_model, batches, first_decay_steps: int):
+def run_tf(tf_model, batches, first_decay_steps: int, eval_at=(),
+           eval_imgs=None):
     import tensorflow as tf
 
     sched = tf.keras.optimizers.schedules.CosineDecayRestarts(
@@ -82,14 +83,18 @@ def run_tf(tf_model, batches, first_decay_steps: int):
         return tf.reduce_mean(tf.reduce_sum(fl, axis=[1, 2, 3, 4]))
 
     losses = []
-    for img, lab in batches:
+    evals = {}
+    for i, (img, lab) in enumerate(batches):
         with tf.GradientTape() as tape:
             probs = tf_model(tf.constant(img), training=True)
             loss = focal(tf.constant(lab), probs)
         grads = tape.gradient(loss, tf_model.trainable_variables)
         opt.apply_gradients(zip(grads, tf_model.trainable_variables))
         losses.append(float(loss))
-    return losses
+        if (i + 1) in eval_at:
+            evals[i + 1] = tf_model(
+                tf.constant(eval_imgs), training=False).numpy()[..., 1]
+    return losses, evals
 
 
 def snapshot_params(tf_model):
@@ -106,7 +111,8 @@ def snapshot_params(tf_model):
     return model, import_keras_m1_weights(tf_model.layers, model.params)
 
 
-def run_jax(model, params, batches, first_decay_steps: int):
+def run_jax(model, params, batches, first_decay_steps: int, eval_at=(),
+            eval_imgs=None):
     import jax
     import jax.numpy as jnp
 
@@ -134,88 +140,159 @@ def run_jax(model, params, batches, first_decay_steps: int):
         return optax.apply_updates(params, updates), opt_state2, loss
 
     losses = []
-    for img, lab in batches:
+    evals = {}
+    for i, (img, lab) in enumerate(batches):
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(img), jnp.asarray(lab))
         losses.append(float(loss))
-    return params, losses
+        if (i + 1) in eval_at:
+            evals[i + 1] = np.asarray(net.apply(
+                {"params": params}, jnp.asarray(eval_imgs),
+                train=False)["y_softmax"])[..., 1]
+    return params, losses, evals
 
 
-def eval_parity(tf_model, model, params, seed: int = 99, n: int = 4):
-    """Dice / lesion-AP computed from both frameworks' predictions on the
-    same held-out synthetic volumes (train/validation.py implements the
-    reference's 'TBA' validation callbacks for real)."""
-    import jax.numpy as jnp
-    import tensorflow as tf
-
-    from prostatemr_3d_cad_cspca_tpu.train.metrics import (
-        dice_3d, lesion_average_precision)
-
+def holdout(seed: int = 99, n: int = 4):
+    """Held-out synthetic volumes shared by both frameworks' eval passes."""
     rng = np.random.default_rng(seed)
     imgs = rng.normal(size=(n, *SPATIAL, 3)).astype(np.float32)
     labs = np.zeros((n, *SPATIAL), np.float32)
     labs[:, 1:3, 4:12, 4:12] = 1.0
+    imgs[..., 0] += labs * 1.5  # image informative about the label: metrics
+    return imgs, labs           # can actually IMPROVE over the horizon
 
-    tf_probs = tf_model(tf.constant(imgs), training=False).numpy()[..., 1]
-    jx_probs = np.asarray(
-        model.apply(params, jnp.asarray(imgs))["y_softmax"])[..., 1]
 
-    out = {}
-    for tag, probs in (("tf", tf_probs), ("jax", jx_probs)):
-        out[tag] = {
-            "dice@0.5": float(np.mean([
-                dice_3d(probs[i] >= 0.5, labs[i] > 0.5) for i in range(n)])),
-            "lesion_ap": float(lesion_average_precision(
-                list(probs), list(labs))),
-        }
-    return out
+def metrics_from_probs(probs, labs):
+    """Dice / lesion-AP from foreground probability maps
+    (train/validation.py implements the reference's 'TBA' validation
+    callbacks for real)."""
+    from prostatemr_3d_cad_cspca_tpu.train.metrics import (
+        dice_3d, lesion_average_precision)
+
+    n = probs.shape[0]
+    return {
+        "dice@0.5": float(np.mean([
+            dice_3d(probs[i] >= 0.5, labs[i] > 0.5) for i in range(n)])),
+        "lesion_ap": float(lesion_average_precision(
+            list(probs), list(labs))),
+    }
+
+
+STATIC_SECTIONS = """
+## Structural/numerical oracle coverage (round 3)
+
+Beyond training dynamics, the forward graphs are pinned against TF Keras
+twins sharing imported weights:
+
+| graph | test | tolerance |
+|---|---|---|
+| deterministic M1 (full) | `test_tf_parity.py::test_full_m1_forward_parity` | atol 5e-4 voxelwise |
+| hierarchical probabilistic five-pass graph (prob_train_conv / prob_infer_conv / prob_kl / prob_softmax incl. deep-sup concat), identical injected latents both sides | `test_tf_prob_oracle.py::test_probabilistic_five_pass_oracle` | atol 1e-3 |
+| cascaded two-stage (stage-2 input wiring + noisy-or fusion) | `test_tf_prob_oracle.py::test_cascaded_two_stage_oracle` | atol 1e-3 |
+| reference H5 checkpoint (Keras default names, TF2.x topological format) imported by build order | `test_h5_import.py::test_default_names_h5_roundtrip` | atol 5e-4 |
+
+## Resample parity bound (round 4 — VERDICT r3 item 6)
+
+SimpleITK is not installable in this image, so `resample_volume`'s parity
+with the reference's `resample_img` (preprocess.py:52-71) is bounded
+analytically (`tests/test_ingest.py::test_resample_analytic_field_bound`):
+a band-limited field (wavelengths >= ~7 samples on the coarse axis) is
+sampled at typical raw bpMRI spacing (3.6, 0.5, 0.5), resampled to the
+reference target (3.0, 0.5, 0.5), and compared against the TRUE field
+values at the reference's exact sample locations (output voxel i at
+physical i*out_spacing, origin unchanged).
+
+| quantity | measured |
+|---|---|
+| max voxel delta / field amplitude (interior) | 2.0e-3 |
+| mean voxel delta / field amplitude | 2.9e-4 |
+| old zoom(grid_mode=True) convention (round 1-3) | 1.27e-2 max (6x worse) |
+
+The round-4 rewrite samples at the sitk convention exactly
+(`map_coordinates`, physical-point-first arithmetic so half-integer NN
+coordinates land on the same side of the fp razor as
+`TransformPhysicalPointToContinuousIndex`); the residual 2.0e-3 is cubic
+B-spline interpolation error at ~7 samples/wavelength, which sitkBSpline
+(same interpolating-spline family) shares. Documented edge deviations
+(outermost voxel ring only): edge-replicate boundary vs sitk's mirror
+prefilter + its fill-with-`GetPixelIDValue()` quirk (out-of-domain voxels
+get the pixel-TYPE enum as a VALUE — unintentional in the reference, not
+reproduced).
+"""
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=160)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
-    fds = max(args.steps // 3, 1)  # exercise >=1 warm restart
+    # first restart at steps/6, second at steps/2 (t_mul=2): the run crosses
+    # TWO warm restarts — the long-horizon anchor VERDICT r3 item 5 asks for
+    fds = max(args.steps // 6, 1)
+    eval_at = sorted({args.steps // 4, args.steps // 2,
+                      3 * args.steps // 4, args.steps})
     batches = synth_batches(args.steps)
+    eval_imgs, eval_labs = holdout()
     tf_model = build_tf()
     model, params0 = snapshot_params(tf_model)  # BEFORE tf trains
-    tf_losses = run_tf(tf_model, batches, fds)
-    params, jx_losses = run_jax(model, params0, batches, fds)
+    tf_losses, tf_evals = run_tf(tf_model, batches, fds, eval_at, eval_imgs)
+    params, jx_losses, jx_evals = run_jax(
+        model, params0, batches, fds, eval_at, eval_imgs)
 
     rel = [abs(a - b) / max(abs(a), 1e-9) for a, b in zip(tf_losses, jx_losses)]
-    ev = eval_parity(tf_model, model, params)
+    ck = {s: (metrics_from_probs(tf_evals[s], eval_labs),
+              metrics_from_probs(jx_evals[s], eval_labs)) for s in eval_at}
 
     lines = [
         "# Training-dynamics parity: TF/Keras oracle vs prostatemr_3d_cad_cspca_tpu",
         "",
         "Same initial weights (utils/tf_import), same synthetic batches, same",
         "recipe (focal alpha=[1,1] gamma=2; Adam+amsgrad eps=1e-7; cosine-decay-",
-        f"restarts LR, first_decay_steps={fds}, one warm restart inside the run).",
+        f"restarts LR, first_decay_steps={fds}, TWO warm restarts inside the run).",
         "Reference recipe: train_model.py:113-131. Harness:",
         "benchmarks/parity_training.py.",
         "",
         f"- steps: {args.steps}",
-        f"- max relative loss deviation: {max(rel):.3e}",
+        f"- max relative loss deviation (first 24 steps): "
+        f"{max(rel[:24]):.3e}",
+        f"- max relative loss deviation (full horizon): {max(rel):.3e} — "
+        "pointwise loss deviation GROWS with horizon (chaotic fp divergence,",
+        "  expected); the metric table below is the long-horizon parity check",
         f"- final losses: tf={tf_losses[-1]:.6f} jax={jx_losses[-1]:.6f}",
+        "",
+        "## Checkpoint metric parity (held-out volumes, Dice/lesion-AP)",
+        "",
+        "The VERDICT r3 item-5 anchor: pointwise losses diverge chaotically",
+        "after ~dozens of fp-noise doublings, but the RECIPE is the same iff",
+        "the quality trajectory matches — Dice / lesion AP at checkpoints",
+        "across two cosine warm restarts:",
+        "",
+        "| step | tf Dice@0.5 | jax Dice@0.5 | tf lesion-AP | jax lesion-AP |",
+        "|------|------|------|------|------|",
+    ]
+    for s in eval_at:
+        t, j = ck[s]
+        lines.append(
+            f"| {s} | {t['dice@0.5']:.4f} | {j['dice@0.5']:.4f} "
+            f"| {t['lesion_ap']:.4f} | {j['lesion_ap']:.4f} |")
+    stride = max(1, args.steps // 24)
+    shown = sorted({0, *range(stride - 1, args.steps, stride), args.steps - 1})
+    lines += [
+        "",
+        f"## Per-step loss table (every {stride} steps)",
         "",
         "| step | tf loss | jax loss | rel diff |",
         "|------|---------|----------|----------|",
     ]
-    for i, (a, b, r) in enumerate(zip(tf_losses, jx_losses, rel)):
-        lines.append(f"| {i + 1} | {a:.6f} | {b:.6f} | {r:.2e} |")
+    for i in shown:
+        lines.append(f"| {i + 1} | {tf_losses[i]:.6f} | {jx_losses[i]:.6f} "
+                     f"| {rel[i]:.2e} |")
     lines += [
-        "",
-        "## Eval-metric parity (same held-out synthetic volumes)",
-        "",
-        "| metric | tf | jax |",
-        "|--------|----|----|",
-        f"| Dice@0.5 | {ev['tf']['dice@0.5']:.6f} | {ev['jax']['dice@0.5']:.6f} |",
-        f"| lesion AP | {ev['tf']['lesion_ap']:.6f} | {ev['jax']['lesion_ap']:.6f} |",
         "",
         "Full-scale accuracy parity on the ProstateX sample feed still needs the",
         "actual bpMRI volumes (not shipped in this image) — see BASELINE.md.",
+        STATIC_SECTIONS,
     ]
     report = "\n".join(lines) + "\n"
     out_path = args.out or os.path.join(
@@ -224,9 +301,18 @@ def main(argv=None):
     with open(out_path, "w") as f:
         f.write(report)
     print(report)
-    ok = max(rel) < 0.02
-    print(f"PARITY {'OK' if ok else 'FAIL'} (max rel dev {max(rel):.3e})")
-    return 0 if ok else 1
+    # pass criteria: short-horizon POINTWISE loss parity (fp determinism of
+    # the recipe) + long-horizon METRIC parity (quality trajectory across
+    # two warm restarts — pointwise losses diverge chaotically, by design)
+    ok_loss = max(rel[:24]) < 0.02
+    ok_metric = all(
+        abs(t["dice@0.5"] - j["dice@0.5"]) < 0.05
+        and abs(t["lesion_ap"] - j["lesion_ap"]) < 0.05
+        for t, j in ck.values())
+    print(f"PARITY {'OK' if (ok_loss and ok_metric) else 'FAIL'} "
+          f"(loss[:24] max rel dev {max(rel[:24]):.3e}; "
+          f"metric checkpoints {'OK' if ok_metric else 'FAIL'})")
+    return 0 if (ok_loss and ok_metric) else 1
 
 
 if __name__ == "__main__":

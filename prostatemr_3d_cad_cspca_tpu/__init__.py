@@ -25,6 +25,10 @@ from . import models  # noqa: F401
 from . import losses  # noqa: F401
 
 from .models import M1, M1Core, m1  # noqa: F401
-from .infer import mc_predict, sliding_window_predict  # noqa: F401
+from .infer import (  # noqa: F401
+    make_chunked_batch_fn,
+    mc_predict,
+    sliding_window_predict,
+)
 from .augment import AugmentParams, augment_batch  # noqa: F401
 from .ensemble import M1Ensemble, tta_detect  # noqa: F401

@@ -50,6 +50,40 @@ def mc_predict(
     return samples
 
 
+def make_chunked_batch_fn(
+    apply_fn: Callable,
+    chunk: int,
+    n_chunks: int,
+    donate: bool = False,
+):
+    """Compile ONE program that runs ``apply_fn`` over ``n_chunks`` batch
+    chunks of size ``chunk`` via ``lax.scan``.
+
+    The TPU-batched-inference amortization lever: on this platform every
+    compiled-program execution pays a fixed device cost (~172 ms measured,
+    docs/ROUND3_NOTES.md) while the marginal per-volume compute is tiny
+    (~0.3 ms for cfg1 bf16). A single device step's batch is capped by peak
+    ACTIVATION memory (the b128 HBM knee), but activations live only for
+    one scan iteration — so chunking the batch inside the program holds
+    peak HBM at chunk size while amortizing the fixed cost over
+    ``chunk * n_chunks`` volumes. Inputs/outputs scale with the full batch
+    (they are the only K-resident buffers).
+
+    apply_fn: (x: (chunk, ...)) -> y (chunk leading axis; any pytree of
+    arrays works). Returns a jitted fn mapping (chunk*n_chunks, ...) ->
+    outputs with the same leading batch. ``donate=True`` additionally
+    donates the input buffer (production serving; do not use when timing
+    a reused input).
+    """
+    def run(x):
+        xr = x.reshape(n_chunks, chunk, *x.shape[1:])
+        _, ys = jax.lax.scan(lambda c, xb: (c, apply_fn(xb)), None, xr)
+        return jax.tree_util.tree_map(
+            lambda t: t.reshape(chunk * n_chunks, *t.shape[2:]), ys)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
 def _gaussian_importance(window: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
     """nnU-Net-style Gaussian tile weighting: center votes count more."""
     w = np.ones(tuple(window), np.float32)

@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "1 - sum(foreground) — exact, and another ~2x off "
                         "the device->host transfer bytes (combine with "
                         "--TRANSFER_DTYPE float16 for ~4x vs fp32 full)")
+    p.add_argument("--SCAN_CHUNK", type=int, default=0,
+                   help="chunk size for scan-chunked batched inference: "
+                        "batches larger than this run as ONE program that "
+                        "lax.scans over chunks — peak activation HBM stays "
+                        "at chunk size while the fixed per-program device "
+                        "cost amortizes over the whole batch (0 = off)")
     return p
 
 
@@ -90,7 +96,8 @@ class InferenceSession:
 
     def __init__(self, model, mc_iter: int = 1, seed: int = 0, mesh=None,
                  transfer_dtype=None, tta: bool = False,
-                 transfer_channels: str = "all"):
+                 transfer_channels: str = "all",
+                 scan_chunk: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -153,16 +160,69 @@ class InferenceSession:
         if self._needs_rng and self.mc_iter > 1:
             from .infer import mc_predict
 
-            def run(params, x, rng):
+            def body(params, x, rng):
                 return _cast(mc_predict(detect, params, x, rng,
                                         num_samples=self.mc_iter,
                                         reduce="mean_std"))
-            self._fn = jax.jit(run, **jit_rng)
         elif self._needs_rng:
-            self._fn = jax.jit(
-                lambda p, x, r: _cast(detect(p, x, rng=r)), **jit_rng)
+            def body(params, x, rng):
+                return _cast(detect(params, x, rng=rng))
         else:
-            self._fn = jax.jit(lambda p, x: _cast(detect(p, x)), **jit_det)
+            def body(params, x):
+                return _cast(detect(params, x))
+        self._body = body
+        self._fn = jax.jit(body, **(jit_rng if self._needs_rng else jit_det))
+
+        # scan_chunk: run big batches as ONE program scanning over chunks.
+        # Peak activation HBM stays at chunk size while the fixed
+        # per-program device cost amortizes over the whole batch — the
+        # measured cfg1 knee-breaker (docs/ROUND4_NOTES.md: b128 single-step
+        # 635 vol/s -> chunked 1000+ vol/s). One compiled program per
+        # distinct chunk count (cached).
+        self._scan_chunk = int(scan_chunk) if scan_chunk else None
+        if self._scan_chunk and mesh is not None \
+                and self._scan_chunk % self._n_data != 0:
+            raise ValueError(
+                f"scan_chunk={scan_chunk} must be a multiple of the mesh "
+                f"data axis ({self._n_data}) so every chunk shards evenly")
+        self._chunk_programs: dict = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._chunk_jit = dict(
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P(None, "data")))
+                + ((NamedSharding(mesh, P()),) if self._needs_rng else ()),
+                out_shardings=None)
+        else:
+            self._chunk_jit = {}
+
+    def _chunked_program(self, n_chunks: int):
+        """jit( (params, (K, chunk, ...) x [, rng]) -> outputs (K*chunk, ...) );
+        per-chunk rng derived by fold_in(rng, chunk_index)."""
+        import jax
+        import jax.numpy as jnp
+
+        if n_chunks in self._chunk_programs:
+            return self._chunk_programs[n_chunks]
+        body = self._body
+        needs_rng = self._needs_rng
+
+        def run(params, xr, *rng):
+            def scan_body(c, inp):
+                i, xb = inp
+                out = (body(params, xb, jax.random.fold_in(rng[0], i))
+                       if needs_rng else body(params, xb))
+                return c, out
+            _, ys = jax.lax.scan(
+                scan_body, None, (jnp.arange(n_chunks), xr))
+            return jax.tree.map(
+                lambda t: t.reshape(t.shape[0] * t.shape[1], *t.shape[2:]),
+                ys)
+
+        fn = jax.jit(run, **self._chunk_jit)
+        self._chunk_programs[n_chunks] = fn
+        return fn
 
     def __call__(self, batch):
         """Batch -> (probs, uncertainty | None), fp32 numpy.
@@ -177,13 +237,30 @@ class InferenceSession:
         if self.model.cascaded and not isinstance(batch, tuple):
             batch = (batch, batch)
         b = (batch[0] if isinstance(batch, tuple) else batch).shape[0]
-        pad = (-b) % self._n_data
-        if pad:  # mesh path: batch must divide the data axis
+        chunked = self._scan_chunk and b > self._scan_chunk
+        pad = ((-b) % self._scan_chunk if chunked
+               else (-b) % self._n_data)
+        if pad:  # chunk/mesh path: batch must divide the chunk/data axis
             def _pad(a):
                 return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
             batch = (tuple(_pad(a) for a in batch)
                      if isinstance(batch, tuple) else _pad(batch))
-        if self._needs_rng:
+        if chunked:
+            ck = self._scan_chunk
+            k = (b + pad) // ck
+
+            def _split(a):
+                return np.asarray(a).reshape(k, ck, *a.shape[1:])
+
+            batch = (tuple(_split(a) for a in batch)
+                     if isinstance(batch, tuple) else _split(batch))
+            fn = self._chunked_program(k)
+            if self._needs_rng:
+                self._rng, sub = jax.random.split(self._rng)
+                out = fn(self.model.params, batch, sub)
+            else:
+                out = fn(self.model.params, batch)
+        elif self._needs_rng:
             self._rng, sub = jax.random.split(self._rng)
             out = self._fn(self.model.params, batch, sub)
         else:
@@ -512,7 +589,8 @@ def run(args) -> List[Dict]:
             model, mc_iter=args.MC_ITER, seed=args.SEED, mesh=mesh,
             transfer_dtype=None if tdt == "float32" else tdt,
             tta=bool(getattr(args, "TTA", 0)),
-            transfer_channels=getattr(args, "TRANSFER_CHANNELS", "all"))
+            transfer_channels=getattr(args, "TRANSFER_CHANNELS", "all"),
+            scan_chunk=int(getattr(args, "SCAN_CHUNK", 0)) or None)
     window = tuple(model.input_spatial_dims)
     rows = read_manifest(args.MANIFEST)
 

@@ -171,3 +171,22 @@ def test_spatial_infer_full_m1_matches_unsharded():
     np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
     assert np.mean(
         np.argmax(sharded, -1) == np.argmax(unsharded, -1)) > 0.9999
+
+
+def test_chunked_batch_fn_matches_direct():
+    """make_chunked_batch_fn: one scan-chunked program equals the direct
+    batched apply (the cfg1 fixed-cost amortization lever, round 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prostatemr_3d_cad_cspca_tpu.infer import make_chunked_batch_fn
+
+    def apply_fn(x):  # stand-in network: nonlinear + channel mix
+        return {"y": jnp.tanh(x @ jnp.full((3, 2), 0.5, x.dtype)) + x[..., :2]}
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(12, 4, 6, 6, 3)),
+                    jnp.float32)
+    direct = apply_fn(x)["y"]
+    chunked = make_chunked_batch_fn(apply_fn, chunk=3, n_chunks=4)(x)["y"]
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                               rtol=1e-6)

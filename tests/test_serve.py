@@ -389,3 +389,42 @@ def test_serve_mc_sliding_window_uncertainty(tmp_path):
         unc = np.load(r["uncertainty_path"])
         assert unc.shape == (*big, 2)
         assert float(unc.max()) > 0.0
+
+
+def test_serve_scan_chunked_matches_direct(tmp_path):
+    """scan_chunk: one scan-chunked program gives the same probabilities as
+    the direct batched program (deterministic path), and the MC path stays
+    a valid distribution with per-chunk rng."""
+    path = _mk_model(tmp_path)
+    model = M1.load(path)
+    batch = np.random.default_rng(3).normal(
+        size=(10, *SPATIAL, 3)).astype(np.float32)
+
+    direct, _ = serve.InferenceSession(model)(batch)
+    chunked, _ = serve.InferenceSession(model, scan_chunk=4)(batch)
+    np.testing.assert_allclose(chunked, direct, atol=1e-5)
+
+    # B <= chunk: falls back to the direct program
+    small, _ = serve.InferenceSession(model, scan_chunk=16)(batch)
+    np.testing.assert_allclose(small, direct, atol=1e-5)
+
+    # MC path: mean/std finite, normalized, per-chunk keys distinct
+    mc_path = _mk_model(tmp_path, dropout_mode="monte-carlo",
+                        dropout_rate=0.5)
+    mc_model = M1.load(mc_path)
+    probs, unc = serve.InferenceSession(mc_model, mc_iter=3,
+                                        scan_chunk=4)(batch)
+    assert probs.shape == (10, *SPATIAL, 2) and unc.shape == probs.shape
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+    assert np.all(np.isfinite(unc)) and float(unc.max()) > 0
+
+
+def test_serve_scan_chunked_cascaded(tmp_path):
+    """scan_chunk composes with the cascaded two-exam tuple input."""
+    path = _mk_model(tmp_path, cascaded="noisy-or")
+    model = M1.load(path)
+    batch = np.random.default_rng(4).normal(
+        size=(6, *SPATIAL, 3)).astype(np.float32)
+    direct, _ = serve.InferenceSession(model)(batch)
+    chunked, _ = serve.InferenceSession(model, scan_chunk=2)(batch)
+    np.testing.assert_allclose(chunked, direct, atol=1e-5)
