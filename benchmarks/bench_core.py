@@ -106,7 +106,18 @@ def main():
         results["cfg1_model_gflops_per_volume"] = round(flops_per_vol / 1e9, 1)
 
     best = (0.0, None)
-    bf16_points = []  # (batch, sec/iter) for the slope fit below
+    bf16_points = []  # (batch, sec/iter) — recorded for the round ledger
+
+    # Round-4 traced decomposition of the cfg1 program (VERDICT r3 item 3,
+    # benchmarks/r4_probe_trace.py + docs/ROUND4_NOTES.md): the main op
+    # stream spends 150.3 ms/iter (76%) blocked on S(1) parameter-staging
+    # copies (~10 ms latency each regardless of size — a tunnel-platform
+    # artifact absent on directly attached TPUs) and 38.5 ms/iter on real
+    # compute at b120. The round-2/3 "fixed program cost + marginal MFU"
+    # slope fit modeled this staging as dispatch tax and is RETIRED — scan
+    # chunking disproved it (docs/ROUND4_NOTES.md).
+    TRACED_COMPUTE_MS_B120 = 38.5
+    TRACED_STAGING_MS_B120 = 150.3
 
     def _update_mfu():
         if flops_per_vol is None or best[1] is None:
@@ -116,20 +127,15 @@ def main():
         results["cfg1_hbm_roofline_note"] = (
             "measured stream ceiling 711 GB/s; see docs/ROUND2_NOTES.md")
         results["best_config"] = best[1]
-        # Slope fit over the bf16 batch sweep separates marginal per-volume
-        # compute from the FIXED per-program device cost this tunnel charges
-        # (~170 ms/execution, docs/ROUND2_NOTES.md — absent on directly
-        # attached TPUs). 1/slope is the projected steady-state throughput
-        # of the same program without that tax.
-        if len(bf16_points) >= 2:
-            bs = np.array([p[0] for p in bf16_points], np.float64)
-            ts = np.array([p[1] for p in bf16_points], np.float64)
-            slope, icept = np.polyfit(bs, ts, 1)
-            if slope > 0:
-                results["cfg1_fixed_program_cost_ms"] = round(icept * 1e3, 1)
-                results["cfg1_marginal_vols_per_sec"] = round(1.0 / slope, 1)
-                results["cfg1_mfu_marginal"] = round(
-                    flops_per_vol / slope / MEASURED_MATMUL_CEILING, 4)
+        results["cfg1_traced_compute_ms_b120"] = TRACED_COMPUTE_MS_B120
+        results["cfg1_traced_staging_ms_b120"] = TRACED_STAGING_MS_B120
+        results["cfg1_mfu_compute_traced"] = round(
+            120 * flops_per_vol / (TRACED_COMPUTE_MS_B120 / 1e3)
+            / MEASURED_MATMUL_CEILING, 4)
+        results["cfg1_attribution_note"] = (
+            "76% of wall is S(1) param-staging latency (r4_probe_trace); "
+            "compute-only projects ~3100 vol/s on a directly attached chip "
+            "— docs/ROUND4_NOTES.md")
 
     # ---- config 1: plain attention U-Net ----------------------------------
     # Session warm-up probe. NOTE: this only settles per-session setup
