@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.convolution import ConvConfig, conv3d
+from ..ops.convolution import ConvConfig, conv3d, conv3d_parts
 from ..ops.normalization import InstanceNorm, ShardedStats, global_spatial_mean
 from ..ops.resample import upsample_nearest
 
@@ -91,14 +91,21 @@ class SEResNetBottleNeck(nn.Module):
     sharded: Optional[ShardedStats] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        """``x``: one tensor, or a LIST of channel parts standing for their
+        concat (the decoder-stitch call sites). Parts are consumed by the
+        bottleneck and projection convs without materializing the concat
+        (ops.convolution.SplitInputConv) — parameters are identical either
+        way."""
         cfg = self.conv_cfg
-        residual = x
+        parts = tuple(x) if isinstance(x, (list, tuple)) else (x,)
+        in_ch = sum(int(p.shape[-1]) for p in parts)
 
         def IN(name):
             return InstanceNorm(name=name, sharded=self.sharded)
 
-        h = conv3d(cfg, self.filters // 4, self.kernel_size, self.strides, name="conv1")(x)
+        h = conv3d_parts(cfg, self.filters // 4, self.kernel_size,
+                         self.strides, name="conv1")(parts)
         h = IN("norm1")(h)
         h = leaky_relu01(h)
         h = conv3d(cfg, self.filters // 4, (3, 3, 3), (1, 1, 1), name="conv2")(h)
@@ -107,11 +114,14 @@ class SEResNetBottleNeck(nn.Module):
         h = conv3d(cfg, self.filters, (1, 1, 1), (1, 1, 1), name="conv3")(h)
         x_ = IN("norm3")(h)
 
-        if x.shape[-1] != self.filters:
-            residual = conv3d(
+        if in_ch != self.filters:
+            residual = conv3d_parts(
                 cfg, self.filters, self.kernel_size, self.strides, name="conv4"
-            )(residual)
+            )(parts)
             residual = IN("norm4")(residual)
+        else:
+            residual = parts[0] if len(parts) == 1 \
+                else jnp.concatenate(parts, axis=-1)
 
         # Squeeze-and-excitation gate (TF-default initialized, unregularized).
         se_kwargs = dict(

@@ -203,13 +203,19 @@ class M1Core(nn.Module):
                  att_conv2=att_conv2, att_conv3=att_conv3,
                  att_map0=att_0, att_map1=att_1, att_map2=att_2, att_map3=att_3)
 
+        # Decoder stitches: each ``uconv*_`` is the reference's channel
+        # concat (networks.py:592/601/611/620), carried here as a PART TUPLE
+        # — the consuming SE bottleneck splits its convs over the parts
+        # instead of materializing the multi-GB concat (HBM-bound model,
+        # docs/ROUND4_NOTES.md; ops.convolution.SplitInputConv). Params and
+        # math are the concat's.
         # Stage 3 (networks.py:590-597).
         deconv3 = rv(self.convtd3(convm))
         if self.dense_skip:
             deconv3_up1 = rv(self.convtd3_up1(deconv3))
             deconv3_up2 = rv(self.convtd3_up2(deconv3_up1))
             deconv3_up3 = rv(self.convtd3_up3(deconv3_up2))
-        uconv3_ = jnp.concatenate([deconv3, att_conv3], axis=-1)
+        uconv3_ = (deconv3, att_conv3)
         uconv3 = self.dropd3(self.sersd3(uconv3_), train)
 
         # Stage 2 (networks.py:599-607).
@@ -217,26 +223,26 @@ class M1Core(nn.Module):
         if self.dense_skip:
             deconv2_up1 = rv(self.convtd2_up1(deconv2))
             deconv2_up2 = rv(self.convtd2_up2(deconv2_up1))
-            uconv2_ = jnp.concatenate([deconv2, deconv3_up1, att_conv2], axis=-1)
+            uconv2_ = (deconv2, deconv3_up1, att_conv2)
         else:
-            uconv2_ = jnp.concatenate([deconv2, att_conv2], axis=-1)
+            uconv2_ = (deconv2, att_conv2)
         uconv2 = self.dropd2(self.sersd2(uconv2_), train)
 
         # Stage 1 (networks.py:609-616).
         deconv1 = rv(self.convtd1(uconv2))
         if self.dense_skip:
             deconv1_up1 = rv(self.convtd1_up1(deconv1))
-            uconv1_ = jnp.concatenate([deconv1, deconv2_up1, deconv3_up2, att_conv1], axis=-1)
+            uconv1_ = (deconv1, deconv2_up1, deconv3_up2, att_conv1)
         else:
-            uconv1_ = jnp.concatenate([deconv1, att_conv1], axis=-1)
+            uconv1_ = (deconv1, att_conv1)
         uconv1 = self.dropd1(self.sersd1(uconv1_), train)
 
         # Stage 0 (networks.py:618-624).
         deconv0 = rv(self.convtd0(uconv1))
         if self.dense_skip:
-            uconv0_ = jnp.concatenate([deconv0, deconv1_up1, deconv2_up2, deconv3_up3, att_conv0], axis=-1)
+            uconv0_ = (deconv0, deconv1_up1, deconv2_up2, deconv3_up3, att_conv0)
         else:
-            uconv0_ = jnp.concatenate([deconv0, att_conv0], axis=-1)
+            uconv0_ = (deconv0, att_conv0)
         uconv0 = self.dropd0(self.sersd0(uconv0_), train)
 
         d.update(uconv3_=uconv3_, uconv3=uconv3, uconv2_=uconv2_, uconv2=uconv2,
@@ -297,7 +303,9 @@ class M1Core(nn.Module):
             # latents carry bias/noise in the vacuum; zero before the convT
             dec_in = revacuum(dec_in, self.sharded)
             upsampled = revacuum(self.dec_hi[i](dec_in), self.sharded)
-            stitched = jnp.concatenate([upsampled, skip_srcs[i]], axis=-1)
+            # skip_srcs[i] is a part tuple (the trunk's pre-SE stitch);
+            # extend it rather than materializing either concat
+            stitched = (upsampled, *skip_srcs[i])
             features = self.dropp[i](self.sersp[i](stitched), train)
             if i < 3:
                 ds_ops.append(features)

@@ -55,6 +55,15 @@ class ConvConfig:
     # (docs/ROUND3_NOTES.md post-mortem). Kept as a tested option for
     # toolchains where the 2D emitter wins.
     fold2d: Any = False
+    # Decoder-stitch convs consume their skip/upsample inputs as a PART LIST
+    # instead of materializing the channel concat: conv(concat(a, b), W) ==
+    # conv(a, W[..., :ca, :]) + conv(b, W[..., ca:, :]), exactly in real
+    # arithmetic (channel split never touches spatial padding). The model is
+    # HBM-bound (docs/ROUND4_NOTES.md) and each stitch concat at stage 0 is
+    # a multi-GB tensor written + re-read per consumer; splitting removes
+    # that traffic. Params (one full-width 'kernel') are identical either
+    # way — checkpoints, TF imports and sharding specs are unaffected.
+    split_stitch: bool = True
 
     def conv_kwargs(self):
         return dict(
@@ -157,6 +166,88 @@ class Fold2DConvTranspose(nn.Module):
         if bias is not None:
             y = y + bias
         return y.reshape(B, D, *y.shape[1:])
+
+
+class SplitInputConv(nn.Module):
+    """3D conv over a LIST of channel parts, without materializing their
+    concat.
+
+    Parameter-identical to ``nn.Conv`` over the concatenated input: one
+    ``kernel`` of shape ``(kd,kh,kw, sum(c_i), features)`` (same name, same
+    initializer draw — the init RNG folds in only the module path and param
+    name) and one ``bias``. The op is the channel-split identity
+    ``conv(concat(parts), W) = sum_i conv(part_i, W[..., off_i:off_i+c_i, :])``
+    — exact in real arithmetic; under fp32/bf16 accumulation the summation
+    order differs from the fused conv by ~1 ulp (tested at 1e-5).
+
+    Why: the stitch concats are the largest live tensors in the network
+    (stage 0 at b120: 3.9 GB written + re-read by BOTH the bottleneck conv
+    and the projection-shortcut conv) and the model is HBM-bound
+    (docs/ROUND4_NOTES.md) — skipping the materialization removes that
+    traffic entirely.
+    """
+
+    features: int
+    kernel_size: Any
+    strides: Any = (1, 1, 1)
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    bias_init: Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, parts) -> jax.Array:
+        if not isinstance(parts, (list, tuple)):
+            parts = (parts,)
+        ks, st = tuple(self.kernel_size), tuple(self.strides)
+        cin = sum(int(p.shape[-1]) for p in parts)
+        kernel = self.param(
+            "kernel", self.kernel_init, ks + (cin, self.features),
+            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        y = None
+        off = 0
+        for p in parts:
+            ci = int(p.shape[-1])
+            k_i = jax.lax.slice_in_dim(kernel, off, off + ci, axis=-2)
+            off += ci
+            p_, k_, b_ = promote_dtype(p, k_i, bias, dtype=self.dtype)
+            y_i = jax.lax.conv_general_dilated(
+                p_, k_, window_strides=st, padding=self.padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            y = y_i if y is None else y + y_i
+        if bias is not None:
+            y = y + b_
+        return y
+
+
+def conv3d_parts(cfg: ConvConfig, features, kernel_size, strides=(1, 1, 1),
+                 name=None):
+    """Build a conv consuming a channel-part list (see SplitInputConv).
+
+    Falls back to concat + :func:`conv3d` when ``cfg.split_stitch`` is off or
+    the 2D-folded dispatch is active (the folded emitter wants one tensor);
+    both paths put the parameters at the same ``name`` with the same shapes.
+    """
+    ks, st = tuple(kernel_size), tuple(strides)
+    folded = cfg.fold2d in (True, "forward") and len(ks) == 3 \
+        and ks[0] == 1 and st[0] == 1
+    if cfg.split_stitch and not folded:
+        return SplitInputConv(features=features, kernel_size=ks, strides=st,
+                              name=name, **cfg.conv_kwargs())
+    inner = conv3d(cfg, features, ks, st, name=name)
+
+    def apply(parts):
+        if isinstance(parts, (list, tuple)):
+            parts = jnp.concatenate(parts, axis=-1)
+        return inner(parts)
+
+    return apply
 
 
 def conv3d(cfg: ConvConfig, features, kernel_size, strides=(1, 1, 1), name=None):

@@ -130,3 +130,38 @@ def test_instance_norm_bf16_fast_path_matches_fp32():
     # channel-wise statistics still normalized
     m = np.asarray(fast, np.float32).mean(axis=(1, 2, 3))
     np.testing.assert_allclose(m, np.tile(bias, (m.shape[0], 1)), atol=0.05)
+
+
+def test_split_stitch_matches_concat():
+    """Decoder-stitch part lists produce the same params and outputs as the
+    materialized channel concat (ops.convolution.SplitInputConv identity:
+    conv(concat(a,b), W) == conv(a, W[...,:ca,:]) + conv(b, W[..,ca:,:]))."""
+    import dataclasses
+
+    from prostatemr_3d_cad_cspca_tpu.ops.convolution import ConvConfig
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 5)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 3)), jnp.float32)
+
+    split_blk = SEResNetBottleNeck(
+        filters=8, kernel_size=(1, 3, 3), strides=(1, 1, 1), reduction=4,
+        conv_cfg=ConvConfig(split_stitch=True))
+    cat_blk = SEResNetBottleNeck(
+        filters=8, kernel_size=(1, 3, 3), strides=(1, 1, 1), reduction=4,
+        conv_cfg=ConvConfig(split_stitch=False))
+
+    vs = split_blk.init(jax.random.PRNGKey(1), (a, b))
+    vc = cat_blk.init(jax.random.PRNGKey(1), (a, b))
+    # identical param tree (names, shapes, and init draws)
+    fs = jax.tree_util.tree_flatten_with_path(vs)[0]
+    fc = jax.tree_util.tree_flatten_with_path(vc)[0]
+    assert [p for p, _ in fs] == [p for p, _ in fc]
+    for (_, ls), (_, lc) in zip(fs, fc):
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(lc))
+
+    ys = split_blk.apply(vs, (a, b))
+    yc = cat_blk.apply(vs, (a, b))
+    yc2 = cat_blk.apply(vs, jnp.concatenate([a, b], axis=-1))
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(yc2), atol=0)
