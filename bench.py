@@ -209,12 +209,16 @@ def main():
     # BASELINE configs 4/5/3 that three rounds of records missed (VERDICT
     # r3 item 1) — cfg2 / the b-variants / fp32_b8 only run with whatever
     # budget remains.
+    # Round-4 reorder: the BASELINE configs 4/5/3 run BEFORE the K-step scan
+    # program (config4s) — its 105 MB executable has been observed to pay a
+    # >480 s cold compile on a cache-key miss, and in this round's first
+    # validation run that single worker starved everything behind it.
     plan = [
         ("core", [core, "--sections", "cfg1,fgout"], 120, 0),
-        ("config4s", [ext, "--only", "config4s"], 120, 10),
         ("config4", [ext, "--only", "config4"], 120, 10),
         ("config5", [ext, "--only", "config5"], 90, 10),
         ("config3", [ext, "--only", "config3"], 90, 10),
+        ("config4s", [ext, "--only", "config4s"], 150, 10),
         ("cfg2", [core, "--sections", "cfg2"], 90, 10),
         ("config5b", [ext, "--only", "config5b"], 90, 10),
         ("config4b", [ext, "--only", "config4b"], 90, 10),

@@ -23,8 +23,13 @@ import time
 
 import numpy as np
 
-# measured on THIS chip via benchmarks/r2_probe_ceilings.py (slope method):
-MEASURED_MATMUL_CEILING = 980e12   # bf16 FLOP/s, 4096^3 loop-resident
+# measured on THIS chip via benchmarks/r4_probe_ceiling2.py (in-program
+# slope over 4096^3 bf16 matmul chains with a fetch-forced scalar output):
+# 0.714 ms/matmul -> 192.6 TFLOP/s = the v5e spec sheet. The round-2 value
+# (980e12, r2_probe_ceilings.py) measured through dispatch pipelining on a
+# platform where block_until_ready does not synchronize large outputs, and
+# is retired (docs/ROUND4_NOTES.md).
+MEASURED_MATMUL_CEILING = 192.6e12  # bf16 FLOP/s, in-program chain slope
 MEASURED_HBM_STREAM = 711e9        # bytes/s, flat r+w stream
 
 DEADLINE = float(os.environ.get("BENCH_DEADLINE", "0")) or None
@@ -108,16 +113,16 @@ def main():
     best = (0.0, None)
     bf16_points = []  # (batch, sec/iter) — recorded for the round ledger
 
-    # Round-4 traced decomposition of the cfg1 program (VERDICT r3 item 3,
-    # benchmarks/r4_probe_trace.py + docs/ROUND4_NOTES.md): the main op
-    # stream spends 150.3 ms/iter (76%) blocked on S(1) parameter-staging
-    # copies (~10 ms latency each regardless of size — a tunnel-platform
-    # artifact absent on directly attached TPUs) and 38.5 ms/iter on real
-    # compute at b120. The round-2/3 "fixed program cost + marginal MFU"
-    # slope fit modeled this staging as dispatch tax and is RETIRED — scan
-    # chunking disproved it (docs/ROUND4_NOTES.md).
-    TRACED_COMPUTE_MS_B120 = 38.5
-    TRACED_STAGING_MS_B120 = 150.3
+    # Round-4 attribution (VERDICT r3 items 2+3, docs/ROUND4_NOTES.md +
+    # docs/ATTRIBUTION.md): the cfg1 wall is the SUM of per-op HBM-roofline
+    # costs (every staging hypothesis was A/B-rejected; the hottest block
+    # class runs at ~1.24x its own roofline). At 16-64 channels the model's
+    # arithmetic intensity (~36-72 FLOP/byte) sits far below the v5e ridge
+    # (~270 FLOP/byte at 192.6 TFLOP/s over 711 GB/s), so the honest
+    # ceiling is the HBM roofline, and MFU-vs-matmul-peak is reported as a
+    # secondary number against the CORRECTED 192.6 TFLOP/s ceiling
+    # (r4_probe_ceiling2.py; the retired 980 figure was a measurement
+    # artifact — block_until_ready does not sync large outputs here).
 
     def _update_mfu():
         if flops_per_vol is None or best[1] is None:
@@ -127,15 +132,10 @@ def main():
         results["cfg1_hbm_roofline_note"] = (
             "measured stream ceiling 711 GB/s; see docs/ROUND2_NOTES.md")
         results["best_config"] = best[1]
-        results["cfg1_traced_compute_ms_b120"] = TRACED_COMPUTE_MS_B120
-        results["cfg1_traced_staging_ms_b120"] = TRACED_STAGING_MS_B120
-        results["cfg1_mfu_compute_traced"] = round(
-            120 * flops_per_vol / (TRACED_COMPUTE_MS_B120 / 1e3)
-            / MEASURED_MATMUL_CEILING, 4)
         results["cfg1_attribution_note"] = (
-            "76% of wall is S(1) param-staging latency (r4_probe_trace); "
-            "compute-only projects ~3100 vol/s on a directly attached chip "
-            "— docs/ROUND4_NOTES.md")
+            "model is HBM-bound by design (AI ~36-72 FLOP/byte < ~270 "
+            "ridge); per-op roofline table in docs/ATTRIBUTION.md; matmul "
+            "ceiling re-measured at 192.6 TFLOP/s (r4_probe_ceiling2)")
 
     # ---- config 1: plain attention U-Net ----------------------------------
     # Session warm-up probe. NOTE: this only settles per-session setup
@@ -155,9 +155,15 @@ def main():
     # (the fgout section below clears that ceiling with a halved output
     # buffer) and the per-program cost dominates below b96
     # (docs/ROUND2_NOTES.md).
-    cfg1_plan = (("bf16_b64", jnp.bfloat16, 64),
-                 ("bf16_b96", jnp.bfloat16, 96),
-                 ("bf16_b120", jnp.bfloat16, 120)) if "cfg1" in sections else ()
+    # b64 moved behind the optional "cfg1full" token (round 4): its number
+    # has been stable for three rounds and its ~60-150 s first-load cost was
+    # crowding the BASELINE config3/4/5 workers out of the 960 s budget.
+    cfg1_plan = ()
+    if "cfg1" in sections:
+        cfg1_plan = (("bf16_b96", jnp.bfloat16, 96),
+                     ("bf16_b120", jnp.bfloat16, 120))
+        if "cfg1full" in sections:
+            cfg1_plan = (("bf16_b64", jnp.bfloat16, 64),) + cfg1_plan
     for tag, dtype, batch in cfg1_plan:
         net = (fp32 if dtype is None else build(dtype)).net
 
@@ -230,7 +236,11 @@ def main():
         # So the sweep stops at the measured knee.
         base_fg = np.random.default_rng(0).normal(
             size=(4, 20, 160, 160, 3)).astype(np.float32)
-        for batch in (124, 128):
+        # Round 4: the concat-free decoder stitch removed the largest live
+        # intermediates, so the sweep re-probes past the old b128 knee; the
+        # exception guard stops it at the first OOM/cliff point.
+        prev_vps = 0.0
+        for batch in (124, 128, 136, 144, 152):
             if _time_left() < 90:
                 break
             xf = None
@@ -248,11 +258,17 @@ def main():
             print(f"# cfg1 fgout b{batch}: {dt*1e3:.1f} ms/iter -> "
                   f"{vps:.1f} vol/s", file=sys.stderr, flush=True)
             results[f"cfg1_bf16_b{batch}_fgout"] = round(vps, 3)
-            if vps > best[0]:  # fgout b128 IS the headline: keep best/MFU
+            if vps > best[0]:  # the fgout knee IS the headline: keep best/MFU
                 best = (vps, f"cfg1_bf16_b{batch}_fgout")  # consistent with it
             del xf
             gc.collect()
             print(json.dumps(results), flush=True)
+            if vps < prev_vps * 0.9:  # fell off the HBM-spill cliff
+                print(f"# cfg1 fgout b{batch} is past the knee "
+                      f"({vps:.1f} < 0.9*{prev_vps:.1f}); stopping sweep",
+                      file=sys.stderr, flush=True)
+                break
+            prev_vps = vps
         _update_mfu()
         try:
             del m1fg, net_fg, detect_fg, params_fg, base_fg
