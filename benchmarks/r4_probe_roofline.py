@@ -197,11 +197,12 @@ def main():
             total_bytes = 0
             for op, (ps, count) in events.items():
                 ms_it = ps / 1e9 / N_TRACE
-                busy_ms += ms_it
                 # module-level events (jit_detect wrappers) span the whole
-                # program; exclude them from the op table and byte sums
+                # program; exclude them from busy time, the op table and
+                # byte sums — counting them would double the line's busy_ms
                 if op.startswith(("jit_", "pjit_")) or "[" not in op:
                     continue
+                busy_ms += ms_it
                 nbytes = op_bytes(op) * count // N_TRACE
                 total_bytes += nbytes
                 roofline_ms = nbytes / MEASURED_HBM_STREAM * 1e3

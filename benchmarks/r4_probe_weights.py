@@ -64,6 +64,11 @@ def main():
             for _ in range(3):
                 out = fn(*args)
             jax.block_until_ready(out)
+            # fetch one value: on this platform block_until_ready
+            # can return before back-to-back dispatches complete
+            # (docs/ROUND4_NOTES.md, ceiling2); the fetch is the
+            # only reliable completion barrier
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
             best = min(best, (time.perf_counter() - t) / 3)
         results[tag] = round(best * 1e3, 2)
         print(f"# {tag}: {best*1e3:.2f} ms", file=sys.stderr, flush=True)
