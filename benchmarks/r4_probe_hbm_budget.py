@@ -31,6 +31,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     sys.path.insert(0, HERE)
+    sys.path.insert(0, os.path.dirname(HERE))
     from bench_core import enable_compile_cache
 
     enable_compile_cache()
@@ -111,6 +112,9 @@ def main():
                 t = time.perf_counter()
                 out = compiled(params, x)
                 jax.block_until_ready(out)
+                # fetch one value: on this platform block_until_ready can
+                # return before the dispatch completes (docs/ROUND4_NOTES.md)
+                np.asarray(out.ravel()[0])
                 best = min(best, time.perf_counter() - t)
             results["b128_vols_per_sec"] = round(B / best, 1)
             print(f"# b128 executes: {B/best:.1f} vol/s",
