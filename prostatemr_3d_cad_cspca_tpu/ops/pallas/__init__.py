@@ -17,4 +17,14 @@ The TPU-native perf path therefore lives in XLA-level restructurings
 docs/ROUND2_NOTES.md for the full measurement log. The probe kernels are
 kept under benchmarks/ as the qualification harness for future Mosaic
 toolchains.
+
+Re-qualified 2026-08-19 (round 4, VERDICT r3 item 8): on the current
+toolchain the streaming packed-conv kernel (r2_probe_pallas_mxu.py)
+sustains 46.4/47.6 TFLOP/s at th=16/32 (was 62 in round 2), still bit-
+consistent with the XLA conv but under half of XLA's ~109 TFLOP/s packed
+conv — the rejection stands. Note the round-4 attribution finding
+(docs/ATTRIBUTION.md): the model is HBM-bound, so a Pallas win would have
+to come from cross-op traffic reduction, and the measured conv+IN block
+already runs at 1.24x its own HBM roofline — bounding any fused-kernel
+upside for that chain to ~24%.
 """
