@@ -96,6 +96,7 @@ def parse_xplanes_by_line(logdir):
 def main():
     mode = "train" if "--train" in sys.argv else "infer"
     sys.path.insert(0, HERE)
+    sys.path.insert(0, os.path.dirname(HERE))
     from bench_core import enable_compile_cache
 
     enable_compile_cache()
