@@ -96,7 +96,11 @@ def main():
             dropout_rate=0.0, summary=False, dtype=dtype, init_params=False)
 
     flops_per_vol = None
-    if "cfg1" in sections:
+    # the fp32 build + FLOP count also run for fgout-only invocations:
+    # the fgout knee is the headline and its MFU needs flops_per_vol
+    # (round 4: the driver plan runs core with --sections fgout alone —
+    # the plain-b120 point's 244 s first-load was crowding config3 out)
+    if sections & {"cfg1", "fgout"}:
         t0 = time.perf_counter()
         fp32 = build(None)
         params = fp32.init(0)
@@ -155,15 +159,18 @@ def main():
     # (the fgout section below clears that ceiling with a halved output
     # buffer) and the per-program cost dominates below b96
     # (docs/ROUND2_NOTES.md).
-    # b64 moved behind the optional "cfg1full" token (round 4): its number
-    # has been stable for three rounds and its ~60-150 s first-load cost was
-    # crowding the BASELINE config3/4/5 workers out of the 960 s budget.
+    # b64 and b96 moved behind the optional "cfg1full" token (round 4):
+    # their numbers have been stable for three rounds and each point's
+    # ~60-475 s first-load cost was crowding the BASELINE config3/4/5
+    # workers out of the 960 s budget (this round's validation run: a
+    # single 480 s first-load burn on the sweep left room for nothing
+    # past config4).
     cfg1_plan = ()
     if "cfg1" in sections:
-        cfg1_plan = (("bf16_b96", jnp.bfloat16, 96),
-                     ("bf16_b120", jnp.bfloat16, 120))
+        cfg1_plan = (("bf16_b120", jnp.bfloat16, 120),)
         if "cfg1full" in sections:
-            cfg1_plan = (("bf16_b64", jnp.bfloat16, 64),) + cfg1_plan
+            cfg1_plan = (("bf16_b64", jnp.bfloat16, 64),
+                         ("bf16_b96", jnp.bfloat16, 96)) + cfg1_plan
     for tag, dtype, batch in cfg1_plan:
         net = (fp32 if dtype is None else build(dtype)).net
 
