@@ -162,7 +162,9 @@ def _emit(detail, skipped, failed):
                        elapsed_s=round(time.time() - T_START, 1)),
     }
     print(json.dumps(out), flush=True)
-    if headline:  # cache the last good result for the wedge fallback below
+    if headline and not detail.get("cfg1_stale"):
+        # cache the last good result for the wedge fallback below — but
+        # never a record whose headline was itself merged from the cache
         try:
             tmp = LAST_GOOD + ".tmp"
             with open(tmp, "w") as f:
@@ -172,6 +174,35 @@ def _emit(detail, skipped, failed):
         except OSError:
             pass
     return headline
+
+
+def _merge_stale_headline(detail):
+    """A run that measured SOME configs but lost the cfg1 worker (tunnel
+    wedge) must not discard its fresh numbers: pull the cfg1_* headline
+    keys from the last good record into the fresh detail, explicitly
+    labeled stale, and re-emit. Returns True if anything was merged."""
+    if not os.path.exists(LAST_GOOD):
+        return False
+    try:
+        with open(LAST_GOOD) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    prev_detail = prev.get("detail", {})
+    merged = False
+    for k, v in prev_detail.items():
+        if k.startswith("cfg1_") and isinstance(v, (int, float)) \
+                and k not in detail:
+            detail[k] = v
+            merged = True
+    if merged:
+        detail["cfg1_stale"] = True
+        detail["cfg1_stale_reason"] = (
+            "cfg1 worker produced no JSON this run (tunnel wedge); cfg1_* "
+            f"figures are the last good measurement "
+            f"({prev.get('recorded_at', 'unknown time')}); all other "
+            "detail keys are fresh from this run")
+    return merged
 
 
 def _emit_stale_fallback():
@@ -273,7 +304,10 @@ def main():
         _emit(detail, skipped, failed)
 
     if not _emit(detail, skipped, failed):
-        _emit_stale_fallback()
+        if detail and _merge_stale_headline(detail):
+            _emit(detail, skipped, failed)
+        else:
+            _emit_stale_fallback()
 
 
 if __name__ == "__main__":
