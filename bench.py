@@ -198,7 +198,8 @@ def _merge_stale_headline(detail):
     if merged:
         detail["cfg1_stale"] = True
         detail["cfg1_stale_reason"] = (
-            "cfg1 worker produced no JSON this run (tunnel wedge); cfg1_* "
+            "cfg1 worker recorded no throughput point this run (tunnel "
+            "fault); cfg1_* "
             f"figures are the last good measurement "
             f"({prev.get('recorded_at', 'unknown time')}); all other "
             "detail keys are fresh from this run")
@@ -285,7 +286,13 @@ def main():
             time.sleep(settle)  # let the previous process release the device
         got = _run_worker(argv, timeout=max(min(_remaining(), ATTEMPT_CAP_S),
                                             30))
-        if not got:
+        # the core worker can return a partial JSON (FLOPs count) with no
+        # throughput point when the sweep hits a transient tunnel fault —
+        # that is a failure for retry purposes, not a success
+        ok = bool(got)
+        if name == "core":
+            ok = any(k.startswith("cfg1_") and "_b" in k for k in got)
+        if not ok:
             retry_queue.append((name, argv, min_need))
         detail.update(got)
         _emit(detail, skipped, failed)

@@ -254,7 +254,20 @@ def main():
             try:
                 xf = jnp.tile(jnp.asarray(base_fg, jnp.bfloat16),
                               (batch // 4, 1, 1, 1, 1))
-                dt = _measure(detect_fg, (params_fg, xf), iters=8)
+                try:
+                    dt = _measure(detect_fg, (params_fg, xf), iters=8)
+                except Exception as e:  # noqa: BLE001
+                    # ABORTED/INTERNAL are transient tunnel faults (observed
+                    # round 4: a b124 ABORT with b124 loading fine minutes
+                    # later) — retry the point once; only a true
+                    # RESOURCE_EXHAUSTED ends the sweep immediately
+                    if "RESOURCE_EXHAUSTED" in str(e) or _time_left() < 120:
+                        raise
+                    print(f"# cfg1 fgout b{batch} transient "
+                          f"{type(e).__name__}; retrying point once",
+                          file=sys.stderr, flush=True)
+                    time.sleep(5)
+                    dt = _measure(detect_fg, (params_fg, xf), iters=8)
             except Exception as e:  # RESOURCE_EXHAUSTED / helper 500
                 print(f"# cfg1 fgout b{batch} FAILED: {type(e).__name__}: "
                       f"{str(e)[:160]}", file=sys.stderr, flush=True)
