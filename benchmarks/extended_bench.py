@@ -287,15 +287,36 @@ def main(only=None):
         lambda x: net.apply({"params": params}, x, train=False)["y_softmax"][..., :2])
     whole = jnp.asarray(rng.normal(size=(24, 256, 256, 3)), jnp.float32)
 
-    def config5():
+    # config5 runs as TWO guarded sections, SMALLEST program first: the
+    # round-4 record lost config5 entirely twice because the worker opened
+    # with the K=12 batched program — the longest first-load in the plan —
+    # and a tunnel wedge mid-load voided the whole worker. The single-case
+    # program loads faster and its JSON flushes the moment it lands, so a
+    # later wedge/kill still leaves a config5 number (same flush-per-point
+    # split that fixed config3 in run 6 of the validation campaign).
+    def config5_single():
         # ONE compiled program: tile gather + forward + Gaussian blend
         # (VERDICT r2 item 6 — the eager loop was dispatch-bound at ~9 ms/op).
-        # K cases per program FIRST (the headline: the single-case result
-        # sits ON the measured ~170 ms per-program device cost, and the
-        # K-case vmap amortizes it — K-ladder 206/254/293 ms at K=4/8/12,
-        # marginal ~10.9 ms/case, benchmarks/r3_probe_batch2); the
-        # single-case point runs after, deadline-gated, because each
-        # program's 100-250 s tunnel first-load is the budget hog.
+        sw = make_sliding_window_fn(
+            lambda x: net.apply({"params": params}, x, train=False)[
+                "y_softmax"][..., :2],
+            full_spatial=(24, 256, 256), window=(20, 160, 160),
+            in_channels=3, out_channels=2, overlap=0.25, batch_size=8)
+        _sync(sw(whole))
+        dt = _best_of(lambda: sw(whole), n=2, iters=4)
+        results["sliding_window_fullres_sec_per_case_single"] = round(dt, 4)
+        print(f"# config5 whole-gland 24x256x256 {dt:.3f}s/case (one-program)",
+              file=sys.stderr)
+
+    def config5_batched():
+        # K cases per program — the headline: the single-case result sits ON
+        # the measured ~170 ms per-program device cost, and the K-case vmap
+        # amortizes it (K-ladder 206/254/293 ms at K=4/8/12, marginal
+        # ~10.9 ms/case, benchmarks/r3_probe_batch2).
+        if _deadline_left() < 150:
+            print("# config5 batched point skipped (deadline)",
+                  file=sys.stderr, flush=True)
+            return
         K = 12
         swk = make_sliding_window_fn(
             lambda x: net.apply({"params": params}, x, train=False)[
@@ -310,23 +331,10 @@ def main(only=None):
         results[f"sliding_window_fullres_sec_per_case_b{K}"] = round(dtk, 4)
         print(f"# config5 whole-gland b{K}-cases {dtk:.3f}s/case (one-program)",
               file=sys.stderr, flush=True)
-        if _deadline_left() < 150:
-            print("# config5 single-case point skipped (deadline)",
-                  file=sys.stderr, flush=True)
-            return
-        sw = make_sliding_window_fn(
-            lambda x: net.apply({"params": params}, x, train=False)[
-                "y_softmax"][..., :2],
-            full_spatial=(24, 256, 256), window=(20, 160, 160),
-            in_channels=3, out_channels=2, overlap=0.25, batch_size=8)
-        _sync(sw(whole))
-        dt = _best_of(lambda: sw(whole), n=2, iters=4)
-        results["sliding_window_fullres_sec_per_case_single"] = round(dt, 4)
-        print(f"# config5 whole-gland 24x256x256 {dt:.3f}s/case (one-program)",
-              file=sys.stderr)
 
     if only in (None, "config5"):
-        guarded("config5", config5)
+        guarded("config5", config5_single)
+        guarded("config5", config5_batched)
 
     # ---- config 5b: CASCADED two-stage + sliding window + MC uncertainty ---
     # The full BASELINE.json config-5 wording: "cascaded two-stage M1 with

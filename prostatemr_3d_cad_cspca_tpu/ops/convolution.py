@@ -64,6 +64,14 @@ class ConvConfig:
     # that traffic. Params (one full-width 'kernel') are identical either
     # way — checkpoints, TF imports and sharding specs are unaffected.
     split_stitch: bool = True
+    # Compute SAME transposed convs in subpixel form (low-res conv producing
+    # prod(stride)*C_out channels + depth-to-space) instead of XLA's
+    # lhs-dilated lowering, which routes the decoder's stride-(1,2,2)
+    # upsamples through full-res C=4 intermediates at 4x their HBM roofline
+    # (docs/ATTRIBUTION.md). Parameter-identical either way (see
+    # SubpixelConvTranspose). Default pending the r4_probe_subpixel
+    # measurement.
+    subpixel: bool = False
 
     def conv_kwargs(self):
         return dict(
@@ -168,6 +176,116 @@ class Fold2DConvTranspose(nn.Module):
         return y.reshape(B, D, *y.shape[1:])
 
 
+def _subpixel_plan(kernel_size, strides):
+    """Static plan for the subpixel rewrite of a SAME transposed conv.
+
+    ``lax.conv_transpose(SAME, transpose_kernel=True)`` correlates the
+    stride-dilated input with the spatially flipped kernel at lo-padding
+    ``pad_a`` (k-1 if s > k-1 else ceil((k+s-2)/2)). Output position
+    p = s*q + r reads dilated position t = p - pad_a + j, which is nonzero
+    only when s | t, giving input offset d = (j + r - pad_a)/s — so each
+    output PHASE r is a small stride-1 conv over the low-res grid, and all
+    prod(s) phases embed into ONE conv producing prod(s)*C_out channels
+    followed by a depth-to-space interleave. Returns (span, pads, idx):
+    ``idx[span_pos + (phase,)]`` indexes the flattened flipped kernel (or
+    the all-zeros slot ``kd*kh*kw``) for a gather-built phase kernel.
+    """
+    import numpy as np
+
+    ks, st = tuple(kernel_size), tuple(strides)
+
+    def _pad_a(k, s):
+        return k - 1 if s > k - 1 else -((k + s - 2) // -2)
+
+    per_axis = []
+    for k, s in zip(ks, st):
+        plo = _pad_a(k, s)
+        phases = []
+        for r in range(s):
+            taps = [((r - plo + j) // s, j) for j in range(k)
+                    if (r - plo + j) % s == 0]
+            phases.append(taps)
+        dmin = min(d for taps in phases for d, _ in taps)
+        dmax = max(d for taps in phases for d, _ in taps)
+        per_axis.append((phases, dmin, dmax))
+    span = tuple(dmax - dmin + 1 for _, dmin, dmax in per_axis)
+    pads = tuple((-dmin, (sp - 1) + dmin)
+                 for (_, dmin, _), sp in zip(per_axis, span))
+    kd, kh, kw = ks
+    zero_slot = kd * kh * kw
+    idx = np.full(span + (st[0] * st[1] * st[2],), zero_slot, np.int32)
+    (pd, dmin_d, _), (ph, dmin_h, _), (pw, dmin_w, _) = per_axis
+    for rd in range(st[0]):
+        for rh in range(st[1]):
+            for rw in range(st[2]):
+                phase = (rd * st[1] + rh) * st[2] + rw
+                for dd, jd in pd[rd]:
+                    for dh, jh in ph[rh]:
+                        for dw, jw in pw[rw]:
+                            idx[dd - dmin_d, dh - dmin_h, dw - dmin_w,
+                                phase] = (jd * kh + jh) * kw + jw
+    return span, pads, idx
+
+
+class SubpixelConvTranspose(nn.Module):
+    """SAME transposed conv computed as a low-res conv + depth-to-space.
+
+    Exactly equal to ``nn.ConvTranspose(transpose_kernel=True)`` (tested at
+    1e-5 fp32), with identical parameters — kernel stored as
+    ``(kd,kh,kw,out,in)`` in the TF Conv3DTranspose convention, so
+    checkpoints, TF imports and sharding specs are unaffected; the phase
+    kernel is a cheap static gather of the stored kernel at apply time.
+
+    Why: XLA lowers the decoder's stride-(1,2,2) transposed convs through
+    full-resolution LOW-CHANNEL intermediates (the cfg1 trace's C=4
+    bf16[120,20,160,160,4] tensors at 4x their HBM roofline — half-empty
+    T(4,128) sublane tiles, docs/ATTRIBUTION.md). The subpixel form keeps
+    every tensor at >=4x the channels on 4x fewer pixels: full lanes on an
+    HBM-bound program (docs/ROUND4_NOTES.md).
+    """
+
+    features: int
+    kernel_size: Any
+    strides: Any
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    bias_init: Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ks, st = tuple(self.kernel_size), tuple(self.strides)
+        assert self.padding == "SAME", self.padding
+        kernel = self.param(
+            "kernel", self.kernel_init, ks + (self.features, x.shape[-1]),
+            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        span, pads, idx = _subpixel_plan(ks, st)
+        kd, kh, kw = ks
+        c_out, c_in = kernel.shape[3:]
+        wf = kernel[::-1, ::-1, ::-1].reshape(kd * kh * kw, c_out, c_in)
+        wf = jnp.concatenate([wf, jnp.zeros_like(wf[:1])], axis=0)
+        # (span..., s_prod, C_out, C_in) -> (span..., C_in, s_prod*C_out)
+        w_sub = wf[idx].transpose(0, 1, 2, 5, 3, 4).reshape(
+            span + (c_in, idx.shape[-1] * c_out))
+        y = jax.lax.conv_general_dilated(
+            x, w_sub, window_strides=(1, 1, 1), padding=pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        b, d, h, w = y.shape[:4]
+        y = y.reshape(b, d, h, w, *st, c_out)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            b, d * st[0], h * st[1], w * st[2], c_out)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class SplitInputConv(nn.Module):
     """3D conv over a LIST of channel parts, without materializing their
     concat.
@@ -269,6 +387,10 @@ def conv3d_transpose(cfg: ConvConfig, features, kernel_size, strides, name=None)
     if cfg.fold2d is True and len(ks) == 3 and ks[0] == 1 and st[0] == 1:
         return Fold2DConvTranspose(features=features, kernel_size=ks, strides=st,
                                    name=name, **cfg.conv_kwargs())
+    if cfg.subpixel:
+        return SubpixelConvTranspose(features=features, kernel_size=ks,
+                                     strides=st, name=name,
+                                     **cfg.conv_kwargs())
     return nn.ConvTranspose(features, ks, st, transpose_kernel=True,
                             name=name, **cfg.conv_kwargs())
 
