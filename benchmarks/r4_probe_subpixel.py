@@ -186,11 +186,13 @@ def main():
             best = min(best, (time.perf_counter() - t) / 6)
         return best
 
-    # exactness at the real shape too (bf16 tolerance)
-    ya = ctrl(params, xb)
-    yb = sub(params, xb)
-    err = float(jnp.max(jnp.abs(ya.astype(jnp.float32) -
-                                yb.astype(jnp.float32))))
+    # exactness at the real shape too (bf16 tolerance) — ONE fused
+    # streaming reduction: materializing fp32 copies of two 2 GB bf16
+    # tensors RESOURCE_EXHAUSTED the 16 GB chip (attempt-3 log)
+    maxdiff = jax.jit(lambda p, v: jnp.max(jnp.abs(
+        in_lrelu(mod.apply(p, v)).astype(jnp.float32) -
+        in_lrelu(smod.apply(p, v)).astype(jnp.float32))))
+    err = float(maxdiff(params, xb))
     results["tpu_maxdiff_bf16"] = err
     print(f"# tpu maxdiff (bf16, post-IN): {err:.2e}", file=sys.stderr,
           flush=True)
