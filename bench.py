@@ -128,9 +128,113 @@ def _run_worker(argv, timeout):
 
 
 LAST_GOOD = os.path.join(HERE, "benchmarks", "last_bench.json")
+CONFIG_STORE = os.path.join(HERE, "benchmarks", "last_good_configs.json")
+
+# Per-config detail-key families. A config counts FRESH this run when at
+# least one non-error family key landed from its worker; a config with no
+# fresh key gets its last-good values merged in, labeled `<label>_stale`
+# (VERDICT r4 item 2 — the cfg1-only stale-merge kept producing partial
+# records under the ~50% per-worker tunnel-wedge rate).
+#   name -> (stale label, key-prefix tuple, exclusion-prefix tuple)
+FAMILIES = {
+    "core": ("cfg1", ("cfg1_", "best_config"), ("cfg1_fp32_", "cfg1_stale")),
+    "cfg2": ("cfg2", ("cfg2_",), ()),
+    "config3": ("cfg3", ("prob_mc",), ()),
+    "config4": ("cfg4", ("train_step_vols_per_sec",), ()),
+    "config4b": ("cfg4b", ("train_step_bf16_",), ()),
+    "config4s": ("cfg4s", ("train_scan_k",), ()),
+    "config4g": ("cfg4g", ("train_accum_",), ()),
+    "config5": ("cfg5", ("sliding_window_",), ()),
+    "config5b": ("cfg5b", ("cascaded_sw_mc_",), ()),
+    "fp32": ("cfg1_fp32", ("cfg1_fp32_",), ()),
+}
 
 
-def _emit(detail, skipped, failed):
+def _family_keys(detail, name):
+    """The numeric/string measurement keys of `name`'s family in `detail`
+    (errors and stale labels excluded)."""
+    label, prefixes, excludes = FAMILIES[name]
+    out = {}
+    for k, v in detail.items():
+        if not any(k.startswith(p) for p in prefixes):
+            continue
+        if any(k.startswith(p) for p in excludes):
+            continue
+        if k.endswith("_error") or k.endswith("_stale") \
+                or k.endswith("_stale_reason"):
+            continue
+        out[k] = v
+    return out
+
+
+def _has_fresh_point(got, name):
+    """True when the worker's JSON carries at least one real measurement
+    for its config (a number, not just notes/errors). The core worker
+    additionally requires a throughput point (a `_b<N>` key) — a FLOPs-only
+    partial JSON is a failure for retry purposes (ADVICE r4)."""
+    keys = _family_keys(got, name)
+    if name == "core":
+        return any("_b" in k and isinstance(v, (int, float))
+                   for k, v in keys.items())
+    return any(isinstance(v, (int, float)) for v in keys.values())
+
+
+def _load_config_store():
+    try:
+        with open(CONFIG_STORE) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _store_fresh_configs(detail, fresh_names):
+    """Persist the last-good values of every config measured this run."""
+    store = _load_config_store()
+    now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    changed = False
+    for name in fresh_names:
+        keys = _family_keys(detail, name)
+        if keys:
+            store[name] = {"detail": keys, "recorded_at": now}
+            changed = True
+    if changed:
+        try:
+            tmp = CONFIG_STORE + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(store, f, indent=2)
+            os.replace(tmp, CONFIG_STORE)
+        except OSError:
+            pass
+
+
+def _merge_stale_configs(detail, plan_names, fresh_names):
+    """For every planned config with no fresh point this run, merge its
+    last-good values into `detail`, labeled `<label>_stale` with the
+    original measurement timestamp. Fresh keys always win; only missing
+    keys are filled. Returns the list of stale-merged config names."""
+    store = _load_config_store()
+    merged_names = []
+    for name in plan_names:
+        if name in fresh_names or name not in store:
+            continue
+        label = FAMILIES[name][0]
+        entry = store[name]
+        merged = False
+        for k, v in entry.get("detail", {}).items():
+            if k not in detail:
+                detail[k] = v
+                merged = True
+        if merged:
+            detail[f"{label}_stale"] = True
+            detail[f"{label}_stale_reason"] = (
+                f"{name} worker recorded no measurement this run; "
+                f"{label}_* figures are the last good measurement "
+                f"({entry.get('recorded_at', 'unknown time')})")
+            merged_names.append(name)
+    return merged_names
+
+
+def _emit(detail, skipped, failed, fresh=None):
     """(Re-)print the headline JSON line from the current detail dict."""
     headline = max(
         (v for k, v in detail.items()
@@ -159,6 +263,8 @@ def _emit(detail, skipped, failed):
                                           if vs_baseline else None),
                        tf_cpu_baseline_vols_per_sec=base_abs,
                        skipped=skipped, failed=failed,
+                       **({"fresh": sorted(fresh)} if fresh is not None
+                          else {}),
                        elapsed_s=round(time.time() - T_START, 1)),
     }
     print(json.dumps(out), flush=True)
@@ -174,36 +280,6 @@ def _emit(detail, skipped, failed):
         except OSError:
             pass
     return headline
-
-
-def _merge_stale_headline(detail):
-    """A run that measured SOME configs but lost the cfg1 worker (tunnel
-    wedge) must not discard its fresh numbers: pull the cfg1_* headline
-    keys from the last good record into the fresh detail, explicitly
-    labeled stale, and re-emit. Returns True if anything was merged."""
-    if not os.path.exists(LAST_GOOD):
-        return False
-    try:
-        with open(LAST_GOOD) as f:
-            prev = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return False
-    prev_detail = prev.get("detail", {})
-    merged = False
-    for k, v in prev_detail.items():
-        if k.startswith("cfg1_") and isinstance(v, (int, float)) \
-                and k not in detail:
-            detail[k] = v
-            merged = True
-    if merged:
-        detail["cfg1_stale"] = True
-        detail["cfg1_stale_reason"] = (
-            "cfg1 worker recorded no throughput point this run (tunnel "
-            "fault); cfg1_* "
-            f"figures are the last good measurement "
-            f"({prev.get('recorded_at', 'unknown time')}); all other "
-            "detail keys are fresh from this run")
-    return merged
 
 
 def _emit_stale_fallback():
@@ -237,14 +313,10 @@ def main():
     # (name, worker argv, min seconds of budget to even attempt it, settle)
     # Order = value-at-risk under tunnel flakiness (a single program has been
     # observed to recompile server-side for ~475 s despite the warm local
-    # cache): the cfg1 headline first, then GUARANTEED slots for the
-    # BASELINE configs 4/5/3 that three rounds of records missed (VERDICT
-    # r3 item 1) — cfg2 / the b-variants / fp32_b8 only run with whatever
-    # budget remains.
-    # Round-4 reorder: the BASELINE configs 4/5/3 run BEFORE the K-step scan
-    # program (config4s) — its 105 MB executable has been observed to pay a
-    # >480 s cold compile on a cache-key miss, and in this round's first
-    # validation run that single worker starved everything behind it.
+    # cache). Round-5 rotation (VERDICT r4 item 4): config4s has NEVER
+    # appeared in a driver record and cfg2 not since round 3, so they get
+    # guaranteed early slots; config4/config5 carry fresh round-4 numbers in
+    # the per-config stale store, so a skip still yields a complete record.
     plan = [
         # fgout IS the cfg1 headline (same model, foreground-only output);
         # the plain bf16_b120 point moved behind "cfg1" (run it via
@@ -252,15 +324,13 @@ def main():
         # first-program load repeatedly crowded configs 3/4b out of the
         # budget. FLOPs/MFU are computed in the fgout-only run too.
         ("core", [core, "--sections", "fgout"], 120, 0),
-        ("config4", [ext, "--only", "config4"], 120, 10),
-        ("config5", [ext, "--only", "config5"], 90, 10),
-        ("config3", [ext, "--only", "config3"], 90, 10),
-        # config4b (bf16 mixed-precision train, +45% over fp32) ahead of
-        # config4s (K-step scan, measured only +9%) and cfg2 — round-4
-        # runs exhausted the budget before ever reaching it at slot 8.
-        ("config4b", [ext, "--only", "config4b"], 90, 10),
         ("config4s", [ext, "--only", "config4s"], 150, 10),
         ("cfg2", [core, "--sections", "cfg2"], 90, 10),
+        ("config4g", [ext, "--only", "config4g"], 150, 10),
+        ("config3", [ext, "--only", "config3"], 90, 10),
+        ("config4", [ext, "--only", "config4"], 120, 10),
+        ("config5", [ext, "--only", "config5"], 90, 10),
+        ("config4b", [ext, "--only", "config4b"], 90, 10),
         ("config5b", [ext, "--only", "config5b"], 90, 10),
         ("fp32", [core, "--sections", "fp32"], 260, 10),
     ]
@@ -283,6 +353,7 @@ def main():
     # deferred pass gives each remaining worker its own fresh-process shot
     # first, then comes back to the failures with whatever budget is left.
     retry_queue = []
+    fresh = set()
     for name, argv, min_need, settle in plan:
         rem = _remaining()
         if rem < min_need + settle:
@@ -292,16 +363,15 @@ def main():
             time.sleep(settle)  # let the previous process release the device
         got = _run_worker(argv, timeout=max(min(_remaining(), ATTEMPT_CAP_S),
                                             30))
-        # the core worker can return a partial JSON (FLOPs count) with no
-        # throughput point when the sweep hits a transient tunnel fault —
-        # that is a failure for retry purposes, not a success
-        ok = bool(got)
-        if name == "core":
-            ok = any(k.startswith("cfg1_") and "_b" in k for k in got)
-        if not ok:
+        # a worker can return partial JSON (notes/errors, or the core
+        # worker's FLOPs count) with no measurement point when it hits a
+        # transient tunnel fault — that is a failure for retry purposes
+        if _has_fresh_point(got, name):
+            fresh.add(name)
+        else:
             retry_queue.append((name, argv, min_need))
         detail.update(got)
-        _emit(detail, skipped, failed)
+        _emit(detail, skipped, failed, fresh)
     for name, argv, min_need in retry_queue:
         if _remaining() > min_need:
             print(f"# retrying {name} in a fresh process", file=sys.stderr,
@@ -309,18 +379,24 @@ def main():
             got = _run_worker(argv, timeout=max(_remaining(), 30))
         else:
             got = {}
-        if not got:
-            # attempted and still no JSON: record the failure — detail ∪
-            # skipped ∪ failed must cover the full plan (VERDICT r3, Weak 1)
+        # re-apply the same fresh-point predicate after the retry (ADVICE
+        # r4): a second notes-only JSON must still land in `failed` so that
+        # detail ∪ skipped ∪ failed covers the full plan (VERDICT r3 Weak 1)
+        if _has_fresh_point(got, name):
+            fresh.add(name)
+        else:
             failed.append(name)
         detail.update(got)
-        _emit(detail, skipped, failed)
+        _emit(detail, skipped, failed, fresh)
 
-    if not _emit(detail, skipped, failed):
-        if detail and _merge_stale_headline(detail):
-            _emit(detail, skipped, failed)
-        else:
-            _emit_stale_fallback()
+    # whole-plan stale-merge (VERDICT r4 item 2): persist this run's fresh
+    # configs, then fill every un-measured config from the last-good store
+    # so the record always presents the complete BASELINE picture, each
+    # family labeled fresh (in detail["fresh"]) or `<label>_stale`.
+    _store_fresh_configs(detail, fresh)
+    _merge_stale_configs(detail, [p[0] for p in plan], fresh)
+    if not _emit(detail, skipped, failed, fresh):
+        _emit_stale_fallback()
 
 
 if __name__ == "__main__":

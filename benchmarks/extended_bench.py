@@ -75,6 +75,26 @@ def main(only=None):
     results = {}
     rng = np.random.default_rng(0)
 
+    def _persist():
+        # MERGE-on-write (VERDICT r4 weak 6): each worker runs one --only
+        # section, so a plain overwrite destroyed every other section's
+        # numbers in the side artifact. Fresh keys win; other sections'
+        # last-good values survive.
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "results_extended.json")
+        merged = {}
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+        merged.update(results)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=2)
+        os.replace(tmp, out_path)
+
     def guarded(name, fn):
         try:
             fn()
@@ -87,10 +107,7 @@ def main(only=None):
         # persist + PRINT cumulative results after every section (success or
         # failure): bench.py parses the last stdout JSON, so a later wedge /
         # kill must not void completed sections of this worker.
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "results_extended.json")
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=2)
+        _persist()
         print(json.dumps(results), flush=True)
 
     # ---- config 3: probabilistic MC inference ------------------------------
@@ -114,7 +131,7 @@ def main(only=None):
         n_mc = 4
         mc = jax.jit(lambda p, x, k: mc_predict(detect, p, x, k, num_samples=n_mc))
         key = jax.random.PRNGKey(0)
-        _c3.update(mc=mc, x4=x4, key=key, n_mc=n_mc)
+        _c3.update(mc=mc, detect=detect, x4=x4, key=key, n_mc=n_mc)
         _sync(mc(prob.params, x4, key))
         dt = _best_of(lambda: mc(prob.params, x4, key))
         results["prob_mc4_samples_per_sec"] = round(n_mc / dt, 3)
@@ -122,30 +139,40 @@ def main(only=None):
               f"{results['prob_mc4_samples_per_sec']} samples/s", file=sys.stderr)
 
     def config3_batched():
-        if not _c3:  # single section failed: rebuild the jitted MC program
-            config3_single()
-        mc, x4, key, n_mc = _c3["mc"], _c3["x4"], _c3["key"], _c3["n_mc"]
-        # batched uncertainty sampling: B volumes x MC draws in ONE program
-        # (vmap over keys x batched volumes) — amortizes the fixed
-        # per-program device cost exactly like the cfg1 batch sweep.
-        # B=12 measured 78 samples/s in round 3, but the compile helper has
-        # since 500'd on that 48-pass plan (round-4 run) — so descend a
-        # batch ladder and record the largest size that compiles+runs.
-        for Bv in (12, 8, 6):
+        if not _c3:  # single section failed: rebuild the base pieces
+            detect = prob.get_detect_model()
+            x4 = jnp.asarray(rng.normal(size=(1, 20, 160, 160, 4)),
+                             jnp.float32)
+            _c3.update(detect=detect, x4=x4, key=jax.random.PRNGKey(0),
+                       n_mc=4)
+        detect = _c3.get("detect") or prob.get_detect_model()
+        x4, key, n_mc = _c3["x4"], _c3["key"], _c3["n_mc"]
+        # batched uncertainty sampling: B volumes x MC draws in ONE program.
+        # The all-vmap 48-pass plan (b12 x MC4) 500s the compile helper
+        # (round-4 record), so the ladder leads with SCAN-over-draws
+        # programs — the compiled body is a single B-volume forward, the
+        # scan amortizes the program tax over n_mc draws — then falls back
+        # to the b8 vmap plan that measured 58 samples/s in round 4.
+        plans = [(16, True), (12, True), (8, False)]
+        for Bv, use_scan in plans:
             try:
+                mcb = jax.jit(lambda p, x, k, s=use_scan: mc_predict(
+                    detect, p, x, k, num_samples=n_mc, scan_samples=s))
                 xb = jnp.tile(x4, (Bv, 1, 1, 1, 1))
-                _sync(mc(prob.params, xb, key))
-                dtb = _best_of(lambda: mc(prob.params, xb, key))
+                _sync(mcb(prob.params, xb, key))
+                dtb = _best_of(lambda: mcb(prob.params, xb, key))
             except Exception as e:  # noqa: BLE001 — helper 500 / OOM: go smaller
-                results[f"prob_mc4_b{Bv}_error"] = f"{type(e).__name__}"[:80]
-                print(f"# config3 b{Bv} failed ({type(e).__name__}) — "
-                      "trying smaller batch", file=sys.stderr, flush=True)
+                tag = "scan" if use_scan else "vmap"
+                results[f"prob_mc4_b{Bv}_{tag}_error"] = f"{type(e).__name__}"[:80]
+                print(f"# config3 b{Bv} {tag} failed ({type(e).__name__}) — "
+                      "trying next plan", file=sys.stderr, flush=True)
                 continue
-            results[f"prob_mc4_b{Bv}_samples_per_sec"] = round(
+            tag = "_scan" if use_scan else ""
+            results[f"prob_mc4_b{Bv}{tag}_samples_per_sec"] = round(
                 n_mc * Bv / dtb, 3)
-            print(f"# config3 MC({n_mc}) b{Bv} {dtb*1e3:.1f}ms -> "
-                  f"{results[f'prob_mc4_b{Bv}_samples_per_sec']} samples/s",
-                  file=sys.stderr)
+            print(f"# config3 MC({n_mc}) b{Bv}{tag} {dtb*1e3:.1f}ms -> "
+                  f"{results[f'prob_mc4_b{Bv}{tag}_samples_per_sec']} "
+                  "samples/s", file=sys.stderr)
             break
 
     if only in (None, "config3"):
@@ -273,6 +300,46 @@ def main(only=None):
     if only == "config4s":
         guarded("config4s_k16", lambda: _config4s(16))
 
+    # ---- config 4g: gradient-accumulation scan (bf16) -----------------------
+    # VERDICT r4 item 3: K microbatches of b2 through lax.scan with ONE
+    # optimizer update per program. Each conv still sees the b2 shapes (the
+    # platform INVALID_ARGUMENTs b4+ train programs), while the
+    # batch-independent weight/optimizer/backward-weight traffic of the
+    # update amortizes over 2K volumes. Effective batch = 2K.
+    def _config4g(K):
+        prob16 = M1(
+            input_spatial_dims=(20, 160, 160), input_channels=4, num_classes=2,
+            filters=(16, 32, 64, 128, 256),
+            strides=((1, 1, 1), (1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)),
+            kernel_sizes=((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+            se_reduction=(8, 8, 8, 8, 8), att_sub_samp=((1, 1, 1),) * 4,
+            probabilistic=True, prob_latent_dims=(3, 2, 1, 0),
+            dropout_mode="monte-carlo", dropout_rate=0.5, summary=False,
+            dtype=jnp.bfloat16)
+        opt16 = make_optimizer("adam", schedule)
+        accum = make_train_step(prob16, make_loss("distribution_focal"),
+                                opt16, elbo_beta=10.0, augment_params=aug,
+                                train_obj="lesion", accum_steps=K)
+        st = {"s": init_train_state(prob16, opt16)}
+        batches = jax.tree_util.tree_map(
+            lambda b: jnp.stack([b] * K), batch)
+        k2 = jax.random.PRNGKey(3)
+
+        def it():
+            st["s"], m = accum(st["s"], batches, k2)
+            return m["loss"]
+
+        _sync(it())
+        dt = _best_of(it, n=2, iters=2)
+        vps = B * K / dt
+        results[f"train_accum_k{K}_bf16_vols_per_sec"] = round(vps, 3)
+        print(f"# config4g bf16 grad-accum K={K} b{B} {dt*1e3:.1f}ms/program "
+              f"({dt/K*1e3:.1f}ms/microbatch) -> {vps:.3f} vol/s",
+              file=sys.stderr, flush=True)
+
+    if only == "config4g":
+        guarded("config4g_k16", lambda: _config4g(16))
+
     # ---- config 5: sliding-window whole-gland full resolution --------------
     det_model = M1(
         input_spatial_dims=(20, 160, 160), input_channels=3, num_classes=2,
@@ -327,14 +394,22 @@ def main(only=None):
         wholes = jnp.stack([whole] * K)
         _sync(swk(wholes))
         dtk = _best_of(lambda: swk(wholes), n=2, iters=4) / K
-        results["sliding_window_fullres_sec_per_case"] = round(dtk, 4)
+        # headline = best of (single, batched): on a bad tunnel day a
+        # regressed batched point must not mask the already-measured
+        # single-case time (ADVICE r4)
+        single = results.get("sliding_window_fullres_sec_per_case_single",
+                             float("inf"))
+        results["sliding_window_fullres_sec_per_case"] = round(
+            min(dtk, single), 4)
         results[f"sliding_window_fullres_sec_per_case_b{K}"] = round(dtk, 4)
         print(f"# config5 whole-gland b{K}-cases {dtk:.3f}s/case (one-program)",
               file=sys.stderr, flush=True)
 
     if only in (None, "config5"):
-        guarded("config5", config5_single)
-        guarded("config5", config5_batched)
+        # distinct guard names so a double failure keeps BOTH causes
+        # (ADVICE r4 — one shared name lost the first error)
+        guarded("config5_single", config5_single)
+        guarded("config5_batched", config5_batched)
 
     # ---- config 5b: CASCADED two-stage + sliding window + MC uncertainty ---
     # The full BASELINE.json config-5 wording: "cascaded two-stage M1 with
@@ -382,10 +457,7 @@ def main(only=None):
     if only == "config5b":
         guarded("config5b", config5b)
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_extended.json")
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+    _persist()
     print(json.dumps(results))
 
 
@@ -397,8 +469,8 @@ def run_isolated():
 
     here = os.path.abspath(__file__)
     merged = {}
-    for cfg in ("config3", "config4", "config4s", "config4b", "config5",
-                "config5b"):
+    for cfg in ("config3", "config4", "config4s", "config4g", "config4b",
+                "config5", "config5b"):
         for attempt in range(2):
             time.sleep(20)  # let the previous process release the device
             proc = subprocess.run(
@@ -419,8 +491,15 @@ def run_isolated():
             if got:
                 break
     out_path = os.path.join(os.path.dirname(here), "results_extended.json")
+    prior = {}
+    try:
+        with open(out_path) as f:
+            prior = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    prior.update(merged)
     with open(out_path, "w") as f:
-        json.dump(merged, f, indent=2)
+        json.dump(prior, f, indent=2)
     print(json.dumps(merged))
 
 

@@ -119,7 +119,31 @@ def subpixel_apply(x, w_sub, pads, strides, c_out):
     return y.reshape(b, d * sd, h * sh, wdim * sw, c_out)
 
 
-def main():
+RESULTS_PATH = os.path.join(HERE, "r4_subpixel_results.json")
+
+
+def _persist(results):
+    merged = {}
+    try:
+        with open(RESULTS_PATH) as f:
+            merged = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    merged.update(results)
+    tmp = RESULTS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=2)
+    os.replace(tmp, RESULTS_PATH)
+    print(json.dumps(merged), flush=True)
+
+
+def main(section=None):
+    """One section per process (``--section ctrl|sub|maxdiff``): compiling a
+    second large program while another's state is resident wedges the
+    tunnel (the round-4 runs of this probe died exactly that way), and the
+    maxdiff program's two-model diff OOMs at b120 (an HLO-temp copy pads
+    C=16 to 128 lanes, 8x) — it runs at b24 instead; exactness at b-scale
+    is batch-independent."""
     sys.path.insert(0, HERE)
     sys.path.insert(0, os.path.dirname(HERE))
     from bench_core import enable_compile_cache
@@ -149,7 +173,11 @@ def main():
     from prostatemr_3d_cad_cspca_tpu.ops.convolution import (
         SubpixelConvTranspose)
 
-    B, D, H, W = 120, 20, 80, 80
+    # b64 (not the headline's b120): the ISOLATED convT+IN program at b120
+    # OOMs — 16.6G of 15.75G hbm; in the full net XLA fuses the IN into the
+    # conv epilogue, standalone it materializes the fp32 intermediate. The
+    # ctrl-vs-subpixel comparison is per-volume and batch-proportional.
+    B, D, H, W = 64, 20, 80, 80
     c_in, c_out = 32, 16
     ks, st = (1, 3, 3), (1, 2, 2)
     xb = jnp.asarray(rng.normal(size=(B, D, H, W, c_in)), jnp.bfloat16)
@@ -186,29 +214,47 @@ def main():
             best = min(best, (time.perf_counter() - t) / 6)
         return best
 
-    # exactness at the real shape too (bf16 tolerance) — ONE fused
-    # streaming reduction: materializing fp32 copies of two 2 GB bf16
-    # tensors RESOURCE_EXHAUSTED the 16 GB chip (attempt-3 log)
-    maxdiff = jax.jit(lambda p, v: jnp.max(jnp.abs(
-        in_lrelu(mod.apply(p, v)).astype(jnp.float32) -
-        in_lrelu(smod.apply(p, v)).astype(jnp.float32))))
-    err = float(maxdiff(params, xb))
-    results["tpu_maxdiff_bf16"] = err
-    print(f"# tpu maxdiff (bf16, post-IN): {err:.2e}", file=sys.stderr,
-          flush=True)
+    if section in (None, "maxdiff"):
+        # exactness at the real channel/stride config (bf16 tolerance) at
+        # b24 — the two-model diff program at b120 OOMs in an HLO-temp copy
+        # that pads C=16 to 128 lanes (8x, attempt-1 log)
+        xsmall = xb[:24]
+        maxdiff = jax.jit(lambda p, v: jnp.max(jnp.abs(
+            in_lrelu(mod.apply(p, v)).astype(jnp.float32) -
+            in_lrelu(smod.apply(p, v)).astype(jnp.float32))))
+        err = float(maxdiff(params, xsmall))
+        results["tpu_maxdiff_bf16"] = err
+        print(f"# tpu maxdiff (bf16, post-IN, b24): {err:.2e}",
+              file=sys.stderr, flush=True)
+        _persist(results)
 
-    dt_c = timed(ctrl, params, xb)
-    dt_s = timed(sub, params, xb)
-    results["convT_in_ms"] = round(dt_c * 1e3, 3)
-    results["subpixel_in_ms"] = round(dt_s * 1e3, 3)
-    results["speedup"] = round(dt_c / dt_s, 3)
-    print(f"# convT+IN {dt_c*1e3:.2f} ms vs subpixel+IN {dt_s*1e3:.2f} ms "
-          f"-> {dt_c/dt_s:.2f}x", file=sys.stderr, flush=True)
+    if section in (None, "ctrl"):
+        dt_c = timed(ctrl, params, xb)
+        results["convT_in_ms"] = round(dt_c * 1e3, 3)
+        print(f"# convT+IN {dt_c*1e3:.2f} ms", file=sys.stderr, flush=True)
+        _persist(results)
 
-    with open(os.path.join(HERE, "r4_subpixel_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results), flush=True)
+    if section in (None, "sub"):
+        dt_s = timed(sub, params, xb)
+        results["subpixel_in_ms"] = round(dt_s * 1e3, 3)
+        print(f"# subpixel+IN {dt_s*1e3:.2f} ms", file=sys.stderr, flush=True)
+        _persist(results)
+
+    try:
+        with open(RESULTS_PATH) as f:
+            merged = json.load(f)
+        if "convT_in_ms" in merged and "subpixel_in_ms" in merged:
+            merged["speedup"] = round(
+                merged["convT_in_ms"] / merged["subpixel_in_ms"], 3)
+            _persist(merged)
+            print(f"# speedup {merged['speedup']}x", file=sys.stderr,
+                  flush=True)
+    except (OSError, json.JSONDecodeError):
+        pass
 
 
 if __name__ == "__main__":
-    main()
+    sec = None
+    if "--section" in sys.argv:
+        sec = sys.argv[sys.argv.index("--section") + 1]
+    main(section=sec)

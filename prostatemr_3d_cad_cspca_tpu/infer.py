@@ -32,14 +32,25 @@ def mc_predict(
     rng: jax.Array,
     num_samples: int = 1,
     reduce: Optional[str] = "mean",
+    scan_samples: bool = False,
 ):
-    """N Monte-Carlo posterior samples as one vmapped program.
+    """N Monte-Carlo posterior samples as one program.
 
     detect_fn: (params, inputs, rng) -> probs (from M1.get_detect_model()).
     reduce: 'mean' | 'mean_std' | None (stacked samples).
+    scan_samples: run the draws as a ``lax.scan`` over keys instead of a
+    vmap. Same one-program amortization of the fixed device cost, but the
+    program BODY is a single-draw forward — the vmapped N*B-volume prob
+    graph exceeds what the compile helper accepts at B=12 (HTTP 500,
+    benchmarks/last_bench.json: prob_mc4_b12_error), while the scan form
+    compiles the B-volume body once and iterates it on-device.
     """
     keys = jax.random.split(rng, num_samples)
-    samples = jax.vmap(lambda k: detect_fn(params, inputs, rng=k))(keys)
+    if scan_samples:
+        _, samples = jax.lax.scan(
+            lambda c, k: (c, detect_fn(params, inputs, rng=k)), None, keys)
+    else:
+        samples = jax.vmap(lambda k: detect_fn(params, inputs, rng=k))(keys)
     if reduce == "mean":
         return jax.tree_util.tree_map(lambda s: jnp.mean(s, axis=0), samples)
     if reduce == "mean_std":

@@ -171,12 +171,15 @@ class M1Core(nn.Module):
             self.dropp = [drop(self.dropout_rate) for _ in range(4)]
 
     # ------------------------------------------------------------------ trunk
-    def trunk(self, inputs: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+    def trunk(self, inputs: jax.Array, train: bool = False) -> Dict[str, Any]:
         """Stem -> encoder -> attention -> nested decoder -> logits.
 
         Reference: M1Core.__call__ body up to the probabilistic ladder
         (networks.py:568-630). Returns every intermediate the ladder / deep
-        supervision needs.
+        supervision needs. Most values are arrays, but the ``uconv{1,2,3}_``
+        keys hold TUPLES of decoder-stage parts standing for the reference's
+        materialized concat (consumers split their convs over the parts —
+        see _split_conv_over_parts in this file).
         """
         d: Dict[str, Any] = {}
         # Under halo sharding: keep the outside-the-volume region zero after

@@ -66,11 +66,17 @@ class ConvConfig:
     split_stitch: bool = True
     # Compute SAME transposed convs in subpixel form (low-res conv producing
     # prod(stride)*C_out channels + depth-to-space) instead of XLA's
-    # lhs-dilated lowering, which routes the decoder's stride-(1,2,2)
-    # upsamples through full-res C=4 intermediates at 4x their HBM roofline
-    # (docs/ATTRIBUTION.md). Parameter-identical either way (see
-    # SubpixelConvTranspose). Default pending the r4_probe_subpixel
-    # measurement.
+    # lhs-dilated lowering. Parameter-identical either way (see
+    # SubpixelConvTranspose). REJECTED as the default, 2026-08-20
+    # (benchmarks/r4_subpixel_results.json): at the real convtd0 context
+    # (b64 [20,80,80]x32 -> 16ch at [20,160,160] + IN) the subpixel form
+    # measures 51.05 ms vs 37.07 ms for XLA's lowering — 0.73x. The
+    # depth-to-space interleave (an 8-D transpose XLA materializes at full
+    # resolution) costs more HBM traffic than the full-lane low-res conv
+    # saves; the hypothesized C=4 half-empty-tile win does not survive the
+    # extra pass. Exactness holds (bf16 maxdiff 9.5e-07 post-IN), so the
+    # module remains available for layouts where the follow-on op can
+    # consume phase-blocked channels without the interleave.
     subpixel: bool = False
 
     def conv_kwargs(self):

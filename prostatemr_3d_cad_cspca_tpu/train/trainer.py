@@ -111,6 +111,7 @@ def make_train_step(
     augment_params=None,
     train_obj: str = "lesion",
     scan_steps: Optional[int] = None,
+    accum_steps: Optional[int] = None,
 ):
     """Build the jitted train step for an M1 model (single-stage or cascaded).
 
@@ -124,7 +125,20 @@ def make_train_step(
     on-device augmentation per step), and returns ``(state, metrics)`` with
     metrics stacked (K,). One compiled program per K steps — this is the
     training-side fixed-program-cost amortization (VERDICT r3 item 2).
+
+    ``accum_steps=K`` returns a GRADIENT-ACCUMULATION program: same
+    ``(state, batches, rng)`` signature with a leading K axis of
+    microbatches, but ONE optimizer update for the whole stack — grads are
+    scan-accumulated and averaged, so the effective batch is K*B while
+    every conv still sees the B-sized shapes (the platform faults b4+ train
+    programs with INVALID_ARGUMENT; this dodges the faulting shapes). The
+    batch-independent weight/optimizer/backward-weight HBM traffic of the
+    update amortizes over K*B volumes instead of B (VERDICT r4 item 3).
+    Mutually exclusive with ``scan_steps``. Loss/metrics come back averaged
+    over microbatches — identical in expectation to a K*B-batch step.
     """
+    if scan_steps is not None and accum_steps is not None:
+        raise ValueError("scan_steps and accum_steps are mutually exclusive")
     net = model.net
     cfg = model.config
     probabilistic = bool(cfg["probabilistic"])
@@ -196,6 +210,46 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    if accum_steps is not None:
+        if accum_steps < 1:
+            raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+        K = int(accum_steps)
+
+        def accum_step(state: TrainState, batches, rng):
+            """K microbatch grad passes + ONE optimizer update, one program.
+
+            The grad accumulator is the scan carry (param-sized, fp32), so
+            XLA updates it in place: the extra traffic is ~2 param-buffer
+            passes per microbatch, while the ~1200-leaf optimizer update
+            and its amsgrad moment buffers are paid once per K*B volumes.
+            """
+            keys = jax.random.split(rng, K)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(gacc, xs):
+                batch, key = xs
+                (_, metrics), grads = grad_fn(state.params, batch, key)
+                return jax.tree_util.tree_map(jnp.add, gacc, grads), metrics
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.result_type(p, jnp.float32)),
+                state.params)
+            gsum, metrics = jax.lax.scan(body, zeros, (batches, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / K, gsum)
+            metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m), metrics)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            batch_shard = NamedSharding(mesh, P(None, "data"))
+            return jax.jit(accum_step,
+                           in_shardings=(None, batch_shard, repl),
+                           donate_argnums=(0,))
+        return jax.jit(accum_step, donate_argnums=(0,))
 
     if scan_steps is not None:
         if scan_steps < 1:

@@ -25,8 +25,9 @@ def bench(tmp_path, monkeypatch):
         "bench_under_test", os.path.join(REPO, "bench.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    # isolate the last-good cache so tests never touch the real artifact
+    # isolate the last-good caches so tests never touch the real artifacts
     mod.LAST_GOOD = str(tmp_path / "last_bench.json")
+    mod.CONFIG_STORE = str(tmp_path / "last_good_configs.json")
     return mod
 
 
@@ -65,29 +66,102 @@ def test_emit_does_not_cache_stale_merged_records(bench, capsys):
     assert not os.path.exists(bench.LAST_GOOD)
 
 
-def test_merge_stale_headline_preserves_fresh_detail(bench, capsys):
-    # seed the last-good cache via a successful emit
-    bench._emit({"cfg1_bf16_b128_fgout": 646.0, "cfg1_bf16_b124_fgout": 620.0},
-                skipped=[], failed=[])
-    capsys.readouterr()
-    # a later run measured config4/5 but lost the cfg1 worker
-    fresh = {"train_step_vols_per_sec": 4.3,
+def test_family_keys_and_fresh_point_predicate(bench):
+    detail = {
+        "cfg1_bf16_b128_fgout": 646.0,
+        "cfg1_model_gflops_per_volume": 93.2,
+        "cfg1_fp32_b8": 52.0,
+        "cfg1_stale": True,
+        "cfg1_stale_reason": "x",
+        "prob_mc4_b8_samples_per_sec": 58.2,
+        "prob_mc4_b12_error": "JaxRuntimeError",
+        "sliding_window_fullres_sec_per_case": 0.044,
+    }
+    core = bench._family_keys(detail, "core")
+    assert "cfg1_bf16_b128_fgout" in core
+    # fp32 / stale labels / other families are NOT core keys
+    assert "cfg1_fp32_b8" not in core and "cfg1_stale" not in core
+    assert "cfg1_stale_reason" not in core
+    assert set(bench._family_keys(detail, "fp32")) == {"cfg1_fp32_b8"}
+    # errors never count as measurements
+    assert set(bench._family_keys(detail, "config3")) == {
+        "prob_mc4_b8_samples_per_sec"}
+    # core requires a throughput (_b<N>) point; FLOPs-only JSON is a failure
+    assert not bench._has_fresh_point(
+        {"cfg1_model_gflops_per_volume": 93.2}, "core")
+    assert bench._has_fresh_point({"cfg1_bf16_b128_fgout": 646.0}, "core")
+    assert bench._has_fresh_point(detail, "config5")
+    assert not bench._has_fresh_point(
+        {"prob_mc4_b12_error": "JaxRuntimeError"}, "config3")
+
+
+def test_whole_plan_stale_merge(bench, capsys):
+    # run A measured cfg1 + config5 fresh — store them
+    run_a = {"cfg1_bf16_b128_fgout": 646.0, "cfg1_bf16_b124_fgout": 620.0,
              "sliding_window_fullres_sec_per_case": 0.044}
-    assert bench._merge_stale_headline(fresh)
-    assert fresh["cfg1_bf16_b128_fgout"] == pytest.approx(646.0)
-    assert fresh["cfg1_stale"] is True
-    assert "stale" in fresh["cfg1_stale_reason"].lower() or \
-        "last good" in fresh["cfg1_stale_reason"]
-    # fresh keys untouched
-    assert fresh["train_step_vols_per_sec"] == pytest.approx(4.3)
-    # fresh keys win over cached ones: only MISSING cfg1_* keys are merged
-    fresh2 = {"cfg1_bf16_b128_fgout": 700.0}
-    assert bench._merge_stale_headline(fresh2)  # merges b124 only
-    assert fresh2["cfg1_bf16_b128_fgout"] == pytest.approx(700.0)
-    assert fresh2["cfg1_bf16_b124_fgout"] == pytest.approx(620.0)
+    bench._store_fresh_configs(run_a, {"core", "config5"})
+    # run B measured only config4; every other planned config stale-merges
+    detail = {"train_step_vols_per_sec": 4.3}
+    plan = ["core", "config4", "config5", "config3"]
+    merged = bench._merge_stale_configs(detail, plan, {"config4"})
+    assert set(merged) == {"core", "config5"}  # config3 has no stored value
+    assert detail["cfg1_bf16_b128_fgout"] == pytest.approx(646.0)
+    assert detail["cfg1_stale"] is True
+    assert "last good" in detail["cfg1_stale_reason"]
+    assert detail["sliding_window_fullres_sec_per_case"] == pytest.approx(0.044)
+    assert detail["cfg5_stale"] is True
+    # fresh keys untouched, no stale label for the fresh config
+    assert detail["train_step_vols_per_sec"] == pytest.approx(4.3)
+    assert "cfg4_stale" not in detail
+    # the merged record emits a real headline with the fresh list attached
+    headline = bench._emit(detail, skipped=[], failed=[], fresh={"config4"})
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert headline == pytest.approx(646.0)
+    assert out["detail"]["fresh"] == ["config4"]
+    # ... but a stale-merged headline is never cached as last-good
+    assert not os.path.exists(bench.LAST_GOOD)
 
 
-def test_merge_stale_headline_without_cache_is_noop(bench):
-    fresh = {"train_step_vols_per_sec": 4.3}
-    assert not bench._merge_stale_headline(fresh)
-    assert "cfg1_stale" not in fresh
+def test_stale_merge_never_overwrites_fresh_keys(bench):
+    bench._store_fresh_configs(
+        {"cfg1_bf16_b128_fgout": 646.0, "cfg1_bf16_b124_fgout": 620.0},
+        {"core"})
+    detail = {"cfg1_bf16_b128_fgout": 700.0}
+    # core NOT fresh per the caller: only missing keys are filled
+    bench._merge_stale_configs(detail, ["core"], set())
+    assert detail["cfg1_bf16_b128_fgout"] == pytest.approx(700.0)
+    assert detail["cfg1_bf16_b124_fgout"] == pytest.approx(620.0)
+
+
+def test_stale_merge_without_store_is_noop(bench):
+    detail = {"train_step_vols_per_sec": 4.3}
+    assert bench._merge_stale_configs(detail, ["core", "config4"],
+                                      {"config4"}) == []
+    assert "cfg1_stale" not in detail
+
+
+def test_store_updates_only_fresh_families(bench):
+    bench._store_fresh_configs(
+        {"cfg1_bf16_b128_fgout": 646.0, "train_step_vols_per_sec": 4.3},
+        {"core"})
+    store = bench._load_config_store()
+    assert "core" in store and "config4" not in store
+    assert store["core"]["detail"] == {"cfg1_bf16_b128_fgout": 646.0}
+    assert "recorded_at" in store["core"]
+    # a second run refreshes without destroying other configs
+    bench._store_fresh_configs({"train_step_vols_per_sec": 5.0}, {"config4"})
+    store = bench._load_config_store()
+    assert store["core"]["detail"]["cfg1_bf16_b128_fgout"] == 646.0
+    assert store["config4"]["detail"] == {"train_step_vols_per_sec": 5.0}
+
+
+def test_plan_names_all_have_families(bench):
+    # every plan entry must be stale-mergeable: its name needs a key family
+    import re
+    src = open(os.path.join(REPO, "bench.py")).read()
+    i = src.index("plan = [")
+    plan_block = src[i:src.index("\n    ]", i)]
+    names = re.findall(r'\(\s*"(\w+)"', plan_block)
+    assert len(names) >= 8
+    for n in names:
+        assert n in bench.FAMILIES, n
