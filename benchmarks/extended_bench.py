@@ -148,32 +148,43 @@ def main(only=None):
         detect = _c3.get("detect") or prob.get_detect_model()
         x4, key, n_mc = _c3["x4"], _c3["key"], _c3["n_mc"]
         # batched uncertainty sampling: B volumes x MC draws in ONE program.
-        # The all-vmap 48-pass plan (b12 x MC4) 500s the compile helper
-        # (round-4 record), so the ladder leads with SCAN-over-draws
-        # programs — the compiled body is a single B-volume forward, the
-        # scan amortizes the program tax over n_mc draws — then falls back
-        # to the b8 vmap plan that measured 58 samples/s in round 4.
-        plans = [(16, True), (12, True), (8, False)]
+        # Round-5 ladder: measure EVERY plan that fits the deadline (not
+        # break-on-first-success — the round-4 break recorded b16-scan's 41
+        # samples/s while b8-vmap's 58 went untried) and flush after each.
+        # Plan values on this platform (2026-08-20): b8-vmap 58, b16-scan
+        # 41 (the scan serializes draws the vmap plan overlaps), b12-vmap
+        # is the round-3 78 lottery — it has been REJECTED by the compile
+        # helper in rounds 4 and 5 (JaxRuntimeError after minutes of
+        # compile), so it runs LAST, as a cheap retry only when budget
+        # remains. Headline = best measured: prob_mc4_best_samples_per_sec.
+        plans = [(8, False), (16, True), (12, False)]
+        best = 0.0
         for Bv, use_scan in plans:
+            if _deadline_left() < 150:
+                print(f"# config3 b{Bv} skipped (deadline)", file=sys.stderr,
+                      flush=True)
+                continue
+            tag = "scan" if use_scan else "vmap"
             try:
                 mcb = jax.jit(lambda p, x, k, s=use_scan: mc_predict(
                     detect, p, x, k, num_samples=n_mc, scan_samples=s))
                 xb = jnp.tile(x4, (Bv, 1, 1, 1, 1))
                 _sync(mcb(prob.params, xb, key))
                 dtb = _best_of(lambda: mcb(prob.params, xb, key))
-            except Exception as e:  # noqa: BLE001 — helper 500 / OOM: go smaller
-                tag = "scan" if use_scan else "vmap"
+            except Exception as e:  # noqa: BLE001 — helper 500 / OOM: next plan
                 results[f"prob_mc4_b{Bv}_{tag}_error"] = f"{type(e).__name__}"[:80]
                 print(f"# config3 b{Bv} {tag} failed ({type(e).__name__}) — "
                       "trying next plan", file=sys.stderr, flush=True)
                 continue
-            tag = "_scan" if use_scan else ""
-            results[f"prob_mc4_b{Bv}{tag}_samples_per_sec"] = round(
-                n_mc * Bv / dtb, 3)
-            print(f"# config3 MC({n_mc}) b{Bv}{tag} {dtb*1e3:.1f}ms -> "
-                  f"{results[f'prob_mc4_b{Bv}{tag}_samples_per_sec']} "
-                  "samples/s", file=sys.stderr)
-            break
+            sps = round(n_mc * Bv / dtb, 3)
+            key_tag = "_scan" if use_scan else ""
+            results[f"prob_mc4_b{Bv}{key_tag}_samples_per_sec"] = sps
+            best = max(best, sps)
+            results["prob_mc4_best_samples_per_sec"] = best
+            print(f"# config3 MC({n_mc}) b{Bv}{key_tag} {dtb*1e3:.1f}ms -> "
+                  f"{sps} samples/s", file=sys.stderr)
+            _persist()
+            print(json.dumps(results), flush=True)
 
     if only in (None, "config3"):
         guarded("config3_single", config3_single)

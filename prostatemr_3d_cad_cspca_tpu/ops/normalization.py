@@ -100,6 +100,87 @@ def global_spatial_mean(
     return s / n
 
 
+# Lane-packed statistics (round 5, VERDICT r4 item 6). The round-4 per-op
+# roofline table (docs/ATTRIBUTION.md, r4_roofline_infer.json) attributes
+# ~19 ms of the cfg1 program's 47 ms excess-over-roofline to IN-stats
+# reduction fusions (2.5-4.2x their own roofline): XLA lays the big NDHWC
+# activations out batch-minor ({0,4,3,2,1}: batch in lanes, C in sublanes)
+# and the (D,H,W)-reduction runs at 56-180 GB/s vs the 711 GB/s stream.
+# The packed formulation folds q = 128/C spatial positions into the channel
+# axis ((B, M, C) -> (B, M/q, 128), a row-major bitcast), reduces over rows
+# at full lane occupancy, then folds the q per-channel sub-sums (a (B,128)
+# second pass — negligible). Exactness: identical addends, different
+# association order; fp32 accumulation both ways (pinned by
+# tests/test_normalization.py::test_packed_stats_exact).
+_STATS_MODE = "naive"  # "naive" | "packed" | "staged"
+
+
+def set_packed_stats(enabled: bool) -> None:
+    """Back-compat toggle for the lane-packed IN statistics variant."""
+    set_stats_mode("packed" if enabled else "naive")
+
+
+def set_stats_mode(mode: str) -> None:
+    """Select the bf16 IN statistics formulation (A/B-measured in
+    benchmarks/r5_probe_instats{,2}.py; the measured winner is the default).
+
+    naive   one jnp.mean over all spatial axes (XLA single reduce) — DEFAULT
+    packed  fold q=128/C spatial positions into lanes first (measured
+            2026-08-20: LOSES — cfg1 b120 304 ms vs 202 naive; the reshape
+            materializes a relayout copy against the batch-minor
+            {0,4,3,2,1} layouts XLA picks in-context)
+    staged  per-axis sum chain W->H->D (measured 2026-08-20: bit-identical
+            output AND wall time to naive — XLA canonicalizes both to the
+            same program)
+
+    Verdict (docs/ATTRIBUTION.md round-5 addendum): the IN-stats roofline
+    outliers are measured-immovable at the JAX expression level; keep naive.
+    """
+    if mode not in ("naive", "packed", "staged"):
+        raise ValueError(f"unknown stats mode {mode!r}")
+    global _STATS_MODE
+    _STATS_MODE = mode
+
+
+def _staged_spatial_stats(x: jax.Array):
+    """(mean, E[x^2]) via a per-axis reduction chain (minor spatial axis
+    first). Same addends as the naive reduce, staged association."""
+    n = 1
+    for s in x.shape[1:-1]:
+        n *= s
+    s = x.astype(jnp.float32)
+    ss = jnp.square(x.astype(jnp.float32))
+    for ax in range(x.ndim - 2, 0, -1):
+        s = jnp.sum(s, axis=ax, keepdims=True)
+        ss = jnp.sum(ss, axis=ax, keepdims=True)
+    return s / n, ss / n
+
+
+def _packed_spatial_stats(x: jax.Array):
+    """(mean, E[x^2]) over spatial dims via a 128-lane-packed reduction.
+
+    Returns fp32 keepdims tensors shaped (B, 1, ..., 1, C), or None when the
+    shape doesn't divide into full lanes (C > 128, C not a power-of-two
+    divisor of 128, or M % q != 0)."""
+    b, c = x.shape[0], x.shape[-1]
+    m = 1
+    for s in x.shape[1:-1]:
+        m *= s
+    if c >= 128 or 128 % c != 0:
+        return None
+    q = 128 // c
+    if m % q != 0:
+        return None
+    xp = x.reshape(b, m // q, q * c)
+    s = jnp.sum(xp, axis=1, dtype=jnp.float32)
+    ss = jnp.sum(jnp.square(xp.astype(jnp.float32)), axis=1)
+    s = jnp.sum(s.reshape(b, q, c), axis=1)
+    ss = jnp.sum(ss.reshape(b, q, c), axis=1)
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    n = float(m)
+    return (s / n).reshape(shape), (ss / n).reshape(shape)
+
+
 def instance_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -141,9 +222,18 @@ def instance_norm(
         # E[x^2]-E[x]^2 is safe here: post-conv activations are near zero-mean
         # and the accumulator is fp32. The fp32 input path keeps the centered
         # two-pass formula for exact reference parity.
-        mean = jnp.mean(x, axis=reduce_axes, keepdims=True, dtype=jnp.float32)
-        ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=reduce_axes,
-                       keepdims=True)
+        alt = None
+        if _STATS_MODE == "packed":
+            alt = _packed_spatial_stats(x)
+        elif _STATS_MODE == "staged":
+            alt = _staged_spatial_stats(x)
+        if alt is not None:
+            mean, ex2 = alt
+        else:
+            mean = jnp.mean(x, axis=reduce_axes, keepdims=True,
+                            dtype=jnp.float32)
+            ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)),
+                           axis=reduce_axes, keepdims=True)
         var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + epsilon)
         a = (inv * scale.astype(jnp.float32)).astype(x.dtype)

@@ -132,6 +132,46 @@ def test_instance_norm_bf16_fast_path_matches_fp32():
     np.testing.assert_allclose(m, np.tile(bias, (m.shape[0], 1)), atol=0.05)
 
 
+def test_packed_stats_exact():
+    """Lane-packed IN statistics (ops/normalization.py:_packed_spatial_stats,
+    round 5) reduce the SAME addends in a different association order — must
+    match the naive bf16 fast path to fp32 round-off, and fall back to naive
+    on non-divisible shapes."""
+    from prostatemr_3d_cad_cspca_tpu.ops import normalization
+    from prostatemr_3d_cad_cspca_tpu.ops.normalization import instance_norm
+
+    rng = np.random.default_rng(11)
+    for shape in [(2, 4, 16, 16, 4), (2, 4, 16, 16, 8), (2, 2, 8, 8, 64),
+                  (2, 2, 8, 8, 128)]:
+        x = jnp.asarray(rng.normal(0.2, 1.3, shape), jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(1.0, 0.2, shape[-1:]), jnp.float32)
+        bias = jnp.asarray(rng.normal(0.0, 0.2, shape[-1:]), jnp.float32)
+        ref = instance_norm(x, scale, bias)
+        for mode in ("packed", "staged"):
+            normalization.set_stats_mode(mode)
+            try:
+                alt = instance_norm(x, scale, bias)
+                st = normalization._packed_spatial_stats(x)
+            finally:
+                normalization.set_stats_mode("naive")
+            if shape[-1] < 128:
+                assert st is not None, shape
+            else:
+                assert st is None  # C=128 fills the lanes already: fallback
+            np.testing.assert_allclose(
+                np.asarray(alt, np.float32), np.asarray(ref, np.float32),
+                atol=0.02, rtol=0.02, err_msg=f"{mode} {shape}")
+    # odd spatial extent that doesn't divide q: must fall back, not crash
+    x = jnp.asarray(rng.normal(size=(1, 3, 5, 7, 4)), jnp.bfloat16)
+    normalization.set_stats_mode("packed")
+    try:
+        assert normalization._packed_spatial_stats(x) is None
+        y = instance_norm(x, jnp.ones((4,)), jnp.zeros((4,)))
+        assert y.shape == x.shape
+    finally:
+        normalization.set_stats_mode("naive")
+
+
 def test_split_stitch_matches_concat():
     """Decoder-stitch part lists produce the same params and outputs as the
     materialized channel concat (ops.convolution.SplitInputConv identity:
