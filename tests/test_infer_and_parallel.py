@@ -45,6 +45,27 @@ def test_mc_predict_mean_std():
     assert 0.7 < float(std.mean()) < 1.3
 
 
+def test_mc_predict_scan_matches_vmap():
+    """scan_samples=True (round 5 — the compile-helper-friendly MC form)
+    draws the SAME per-key samples as the vmap form: identical split keys
+    feed the same single-draw body, only the iteration scheme differs."""
+    def detect(params, x, rng=None):
+        return x + jax.random.normal(rng, x.shape)
+
+    x = jnp.zeros((2, 2, 4, 4, 1))
+    key = jax.random.PRNGKey(7)
+    sv = mc_predict(detect, None, x, key, num_samples=4, reduce=None)
+    ss = mc_predict(detect, None, x, key, num_samples=4, reduce=None,
+                    scan_samples=True)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(sv), atol=1e-6)
+    mv, sdv = mc_predict(detect, None, x, key, num_samples=4,
+                         reduce="mean_std")
+    ms, sds = mc_predict(detect, None, x, key, num_samples=4,
+                         reduce="mean_std", scan_samples=True)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(mv), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sds), np.asarray(sdv), atol=1e-6)
+
+
 def test_halo_exchange_reconstructs_neighbors():
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
