@@ -188,14 +188,37 @@ def _load_config_store():
 
 
 def _store_fresh_configs(detail, fresh_names):
-    """Persist the last-good values of every config measured this run."""
+    """Persist the last-good values of every config measured this run.
+
+    PER-KEY merge (round 5): a worker killed mid-ladder lands only its
+    first points, and replacing the whole entry would shrink the store —
+    observed 2026-08-20, a partial config3 capture (base point only)
+    destroying the stored b8 headline. Keys measured this run win; keys
+    only in the store survive with their own timestamp in
+    ``recorded_at_by_key``; the entry-level ``recorded_at`` is the OLDEST
+    timestamp still contributing a key, so a stale-merge label never
+    claims figures are fresher than their weakest key."""
     store = _load_config_store()
     now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     changed = False
     for name in fresh_names:
         keys = _family_keys(detail, name)
         if keys:
-            store[name] = {"detail": keys, "recorded_at": now}
+            prev = store.get(name, {})
+            by_key = dict(prev.get(
+                "recorded_at_by_key",
+                {k: prev.get("recorded_at", "unknown")
+                 for k in prev.get("detail", {})}))
+            merged_detail = dict(prev.get("detail", {}))
+            merged_detail.update(keys)
+            by_key.update({k: now for k in keys})
+            store[name] = {
+                "detail": merged_detail,
+                "recorded_at": min(
+                    (by_key.get(k, "unknown") for k in merged_detail),
+                    default=now),
+                "recorded_at_by_key": by_key,
+            }
             changed = True
     if changed:
         try:

@@ -155,6 +155,30 @@ def test_store_updates_only_fresh_families(bench):
     assert store["config4"]["detail"] == {"train_step_vols_per_sec": 5.0}
 
 
+def test_store_partial_capture_merges_per_key(bench):
+    """A worker killed mid-ladder lands only its first points; the store
+    must MERGE them per key, not replace the entry (observed 2026-08-20:
+    a base-point-only config3 capture destroying the stored b8 headline).
+    Surviving keys keep their own timestamps and the entry timestamp is
+    the oldest contributing one."""
+    bench._store_fresh_configs(
+        {"prob_mc4_samples_per_sec": 33.2,
+         "prob_mc4_b8_samples_per_sec": 58.2}, {"config3"})
+    store = bench._load_config_store()
+    first_ts = store["config3"]["recorded_at"]
+    # second run: partial capture (base point only, new value)
+    bench._store_fresh_configs(
+        {"prob_mc4_samples_per_sec": 32.9}, {"config3"})
+    store = bench._load_config_store()
+    det = store["config3"]["detail"]
+    assert det["prob_mc4_samples_per_sec"] == pytest.approx(32.9)
+    assert det["prob_mc4_b8_samples_per_sec"] == pytest.approx(58.2)
+    by_key = store["config3"]["recorded_at_by_key"]
+    assert by_key["prob_mc4_b8_samples_per_sec"] == first_ts
+    # entry timestamp stays the OLDEST contributing key's timestamp
+    assert store["config3"]["recorded_at"] == min(by_key.values())
+
+
 def test_plan_names_all_have_families(bench):
     # every plan entry must be stale-mergeable: its name needs a key family
     import re
