@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.convolution import ConvConfig, conv3d, conv3d_parts
+from ..ops.convolution import ConvConfig, conv3d, conv3d_parts, store_act
 from ..ops.normalization import InstanceNorm, ShardedStats, global_spatial_mean
 from ..ops.resample import upsample_nearest
 
@@ -104,20 +104,27 @@ class SEResNetBottleNeck(nn.Module):
         def IN(name):
             return InstanceNorm(name=name, sharded=self.sharded)
 
+        # store_act: fp8 boundary-buffer storage when cfg.act_store is set
+        # (no-op by default) — casts sit on the tensors that cross fusion
+        # boundaries (conv outputs pre-IN, block outputs post-combine).
         h = conv3d_parts(cfg, self.filters // 4, self.kernel_size,
                          self.strides, name="conv1")(parts)
+        h = store_act(cfg, h)
         h = IN("norm1")(h)
         h = leaky_relu01(h)
         h = conv3d(cfg, self.filters // 4, (3, 3, 3), (1, 1, 1), name="conv2")(h)
+        h = store_act(cfg, h)
         h = IN("norm2")(h)
         h = leaky_relu01(h)
         h = conv3d(cfg, self.filters, (1, 1, 1), (1, 1, 1), name="conv3")(h)
+        h = store_act(cfg, h)
         x_ = IN("norm3")(h)
 
         if in_ch != self.filters:
             residual = conv3d_parts(
                 cfg, self.filters, self.kernel_size, self.strides, name="conv4"
             )(parts)
+            residual = store_act(cfg, residual)
             residual = IN("norm4")(residual)
         else:
             residual = parts[0] if len(parts) == 1 \
@@ -141,7 +148,7 @@ class SEResNetBottleNeck(nn.Module):
 
         # Reference quirk: multiplicative shortcut combine (network_blocks.py:77).
         out = gated * residual
-        return leaky_relu01(out)
+        return store_act(cfg, leaky_relu01(out))
 
 
 class GridAttentionBlock3D(nn.Module):

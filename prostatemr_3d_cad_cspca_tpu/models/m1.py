@@ -86,6 +86,7 @@ def m1(
     fused_prob_passes: bool = True,
     strict_reference_slicing: bool = False,
     remat: bool = False,
+    act_store: Any = None,
     dtype: Any = None,
     **_ignored,
 ) -> M1Net:
@@ -102,6 +103,7 @@ def m1(
         kernel_l2=_resolve_l2(kernel_regularizer),
         bias_l2=_resolve_l2(bias_regularizer),
         dtype=dtype,
+        act_store=act_store,
     )
     if len(_as_nested_tuple(prob_latent_dims)) == 3:
         # M1's ctor default is 3 entries (networks.py:53) while the core needs
@@ -160,6 +162,7 @@ class M1:
         fused_prob_passes: bool = True,
         strict_reference_slicing: bool = False,
         remat: bool = False,
+        act_store: Any = None,
         dtype: Any = None,
         seed: int = 0,
         init_params: bool = True,
@@ -193,6 +196,9 @@ class M1:
             fused_prob_passes=fused_prob_passes,
             strict_reference_slicing=strict_reference_slicing,
             remat=remat,
+            # stored by canonical dtype NAME: keeps checkpoint configs
+            # JSON-serializable and M1(**config) rebuildable
+            act_store=np.dtype(act_store).name if act_store is not None else None,
             seed=seed,
         )
         self.name = name
@@ -221,6 +227,7 @@ class M1:
             fused_prob_passes=fused_prob_passes,
             strict_reference_slicing=strict_reference_slicing,
             remat=remat,
+            act_store=act_store,
             dtype=dtype,
         )
         if cascaded:

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.convolution import ConvConfig, conv3d, conv3d_transpose
+from ..ops.convolution import ConvConfig, conv3d, conv3d_transpose, store_act
 from ..ops.distributions import DiagGaussian
 from ..ops.normalization import InstanceNorm, ShardedStats, revacuum
 from ..ops.resample import upsample_nearest
@@ -185,11 +185,17 @@ class M1Core(nn.Module):
         # Under halo sharding: keep the outside-the-volume region zero after
         # ops with additive offsets (see ops.normalization.revacuum). The INs
         # already do this internally; transposed convs need it explicitly.
-        rv = lambda t: revacuum(t, self.sharded)  # noqa: E731
+        # fp8 boundary-buffer storage (no-op unless conv_cfg.act_store is
+        # set): transposed-conv outputs and the stem/attention tensors are
+        # the full-resolution buffers that dominate the HBM stream.
+        sa = lambda t: store_act(self.conv_cfg, t)  # noqa: E731
+        rv = lambda t: sa(revacuum(t, self.sharded))  # noqa: E731
 
         x = self.conve0(inputs)
+        x = sa(x)
         x = self.norme0(x)
         x = leaky_relu01(x)
+        x = sa(x)
         d["x"] = x
 
         conv1 = self.drope1(self.serse1(x), train)
@@ -202,6 +208,8 @@ class M1Core(nn.Module):
         att_conv1, att_1 = self.att1(conv1, convm)
         att_conv2, att_2 = self.att2(conv2, convm)
         att_conv3, att_3 = self.att3(conv3, convm)
+        att_conv0, att_conv1, att_conv2, att_conv3 = (
+            sa(att_conv0), sa(att_conv1), sa(att_conv2), sa(att_conv3))
         d.update(att_conv0=att_conv0, att_conv1=att_conv1,
                  att_conv2=att_conv2, att_conv3=att_conv3,
                  att_map0=att_0, att_map1=att_1, att_map2=att_2, att_map3=att_3)

@@ -78,6 +78,19 @@ class ConvConfig:
     # module remains available for layouts where the follow-on op can
     # consume phase-blocked channels without the interleave.
     subpixel: bool = False
+    # Store activations crossing block boundaries in a NARROW dtype
+    # (float8_e4m3fn / float8_e5m2). The value is converted straight back to
+    # the compute dtype, so params, shapes and the graph are unchanged — but
+    # the MATERIALIZED buffer between producer and consumer fusions is fp8,
+    # halving its HBM traffic vs bf16 on a program that is HBM-bound end to
+    # end (docs/ATTRIBUTION.md). Measured per-op on this chip
+    # (benchmarks/r5_quant_results.json): 1.45-1.53x on the traffic-bound
+    # stem conv; int8 (s8xs8->s32 requant) only helps the compute-bound
+    # shapes (1.19x) and loses on low-channel tiles. Opt-in (None = exact
+    # bf16/fp32 behavior): fp8 rounds activations (~6% relative at e4m3),
+    # an accuracy trade measured in benchmarks/r5_probe_fp8act.py — NOT a
+    # default; a deployment mode like --PRECISION.
+    act_store: Any = None
 
     def conv_kwargs(self):
         return dict(
@@ -348,6 +361,27 @@ class SplitInputConv(nn.Module):
         if bias is not None:
             y = y + b_
         return y
+
+
+def store_act(cfg: ConvConfig, x: jax.Array) -> jax.Array:
+    """Round ``x`` through ``cfg.act_store`` (fp8) so the buffer XLA
+    materializes at the next fusion boundary is the narrow dtype.
+
+    No-op when ``act_store`` is None. The back-conversion keeps every
+    consumer's compute dtype unchanged; XLA fuses both converts into the
+    neighbouring fusions, so the only effect is the boundary buffer's
+    width (and the fp8 rounding of the value)."""
+    if cfg.act_store is None:
+        return x
+    dt = cfg.act_store
+    if isinstance(dt, str):  # checkpoint configs carry the dtype as a name
+        dt = getattr(jnp, dt)
+    # The barrier pins the fp8 value as the MATERIALIZED buffer: without
+    # it XLA fuses the convert pair into one kernel and the boundary
+    # buffer silently stays bf16 (measured: +1.6% only,
+    # r5_fp8act_results.json 'nobarrier' point).
+    y = jax.lax.optimization_barrier(x.astype(dt))
+    return y.astype(x.dtype)
 
 
 def conv3d_parts(cfg: ConvConfig, features, kernel_size, strides=(1, 1, 1),

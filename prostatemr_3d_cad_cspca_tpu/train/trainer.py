@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Iterable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,70 @@ class TrainState:
         return cls(*children)
 
 
+class _KerasAmsgradState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+    nu_hat: Any
+
+
+def scale_by_keras_amsgrad(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7
+) -> optax.GradientTransformation:
+    """Keras-EXACT Adam+amsgrad moment scaling.
+
+    ``optax.amsgrad`` takes the running max over the BIAS-CORRECTED second
+    moment; tf.keras Adam(amsgrad=True) maxes the RAW second moment and
+    folds both bias corrections into the step size:
+
+        m_t = b1*m + (1-b1)*g;  v_t = b2*v + (1-b2)*g^2
+        vhat_t = max(vhat_{t-1}, v_t)
+        update = [sqrt(1-b2^t)/(1-b1^t)] * m_t / (sqrt(vhat_t) + eps)
+
+    The two variants diverge from step 2 (the correction factor 1/(1-b2^t)
+    inflates early nu_hat values, so the corrected-max retains them
+    longer): 2.6e-2 relative on identical gradient sequences, which the
+    round-5 learnable parity anchor caught as a 0.061 plateau-Dice gap
+    (docs/PARITY.md, docs/ROUND5_NOTES.md). Reference recipe:
+    train_model.py:120-121 -> keras/optimizer_v2/adam.py (eps applied
+    OUTSIDE sqrt, not bias-corrected)."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(  # noqa: E731
+            lambda p: jnp.zeros_like(p), params)
+        return _KerasAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(), nu=zeros(),
+            nu_hat=zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state.nu, updates)
+        nu_hat = jax.tree_util.tree_map(jnp.maximum, state.nu_hat, nu)
+        c = count.astype(jnp.float32)
+        bc = jnp.sqrt(1.0 - b2**c) / (1.0 - b1**c)
+        out = jax.tree_util.tree_map(
+            lambda m, vh: bc * m / (jnp.sqrt(vh) + eps), mu, nu_hat)
+        return out, _KerasAmsgradState(count=count, mu=mu, nu=nu,
+                                       nu_hat=nu_hat)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def keras_amsgrad(learning_rate: Any, b1: float = 0.9, b2: float = 0.999,
+                  eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam+amsgrad with tf.keras update semantics (see
+    scale_by_keras_amsgrad)."""
+    return optax.chain(
+        scale_by_keras_amsgrad(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def make_optimizer(
     name: str = "adam",
     learning_rate: Any = 1e-3,
@@ -58,11 +122,12 @@ def make_optimizer(
     analogue of Keras layer order) receive zero updates.
     """
     if name == "adam":
-        # eps matches tf.keras.optimizers.Adam's default (1e-7, vs optax's
-        # 1e-8) — pinned by the training-dynamics parity harness
-        # (benchmarks/parity_training.py).
+        # Keras-exact amsgrad (raw-moment max, eps=1e-7 outside sqrt):
+        # optax.amsgrad maxes the bias-CORRECTED second moment and diverges
+        # 2.6e-2 rel by step 2 on identical gradients — caught by the
+        # round-5 learnable parity anchor (docs/PARITY.md).
         kwargs.setdefault("eps", 1e-7)
-        tx = optax.amsgrad(learning_rate=learning_rate, **kwargs)
+        tx = keras_amsgrad(learning_rate=learning_rate, **kwargs)
     elif name in ("momentum", "sgd"):
         tx = optax.sgd(learning_rate=learning_rate, momentum=0.9, nesterov=True,
                        **kwargs)
