@@ -271,7 +271,7 @@ class M1Core(nn.Module):
     # ----------------------------------------------------------------- ladder
     def ladder(
         self,
-        trunk: Dict[str, jax.Array],
+        trunk: Dict[str, Any],
         prob_mean: bool = False,
         prob_z_q: Optional[Tuple[Optional[jax.Array], ...]] = None,
         train: bool = False,
@@ -341,7 +341,7 @@ class M1Core(nn.Module):
         return y_1, y_2, y_3
 
     def assemble_outputs(
-        self, trunk: Dict[str, jax.Array], ladder_out: Optional[Dict[str, Any]]
+        self, trunk: Dict[str, Any], ladder_out: Optional[Dict[str, Any]]
     ) -> Dict[str, Any]:
         """Final output dict (networks.py:749-759)."""
         outputs: Dict[str, Any] = {}

@@ -80,16 +80,19 @@ class ConvConfig:
     subpixel: bool = False
     # Store activations crossing block boundaries in a NARROW dtype
     # (float8_e4m3fn / float8_e5m2). The value is converted straight back to
-    # the compute dtype, so params, shapes and the graph are unchanged — but
-    # the MATERIALIZED buffer between producer and consumer fusions is fp8,
-    # halving its HBM traffic vs bf16 on a program that is HBM-bound end to
-    # end (docs/ATTRIBUTION.md). Measured per-op on this chip
-    # (benchmarks/r5_quant_results.json): 1.45-1.53x on the traffic-bound
-    # stem conv; int8 (s8xs8->s32 requant) only helps the compute-bound
-    # shapes (1.19x) and loses on low-channel tiles. Opt-in (None = exact
-    # bf16/fp32 behavior): fp8 rounds activations (~6% relative at e4m3),
-    # an accuracy trade measured in benchmarks/r5_probe_fp8act.py — NOT a
-    # default; a deployment mode like --PRECISION.
+    # the compute dtype, so params, shapes and the graph are unchanged.
+    # Measured per-op on this chip (benchmarks/r5_quant_results.json):
+    # fp8 storage 1.45-1.53x on the traffic-bound stem conv; int8
+    # (s8xs8->s32 requant) only helps compute-bound shapes (1.19x).
+    # REJECTED as a headline lever, 2026-08-20 (whole-model A/B,
+    # benchmarks/r5_fp8act_results.json): cfg1 b120 baseline 604.5 vol/s,
+    # fp8 casts 614.3 (+1.6%, within tunnel noise), fp8 pinned-materialized
+    # via optimization_barrier 580.1 (-4%). The per-op win does not compose
+    # because XLA's fusion already keeps most boundary traffic INSIDE
+    # fusions — the same structural verdict as the subpixel and packing
+    # campaigns. Kept as a tested opt-in deployment mode (None = exact
+    # bf16/fp32 behavior; fp8 rounds activations ~6% relative at e4m3 —
+    # tests/test_fp8_act.py).
     act_store: Any = None
 
     def conv_kwargs(self):
@@ -376,12 +379,12 @@ def store_act(cfg: ConvConfig, x: jax.Array) -> jax.Array:
     dt = cfg.act_store
     if isinstance(dt, str):  # checkpoint configs carry the dtype as a name
         dt = getattr(jnp, dt)
-    # The barrier pins the fp8 value as the MATERIALIZED buffer: without
-    # it XLA fuses the convert pair into one kernel and the boundary
-    # buffer silently stays bf16 (measured: +1.6% only,
-    # r5_fp8act_results.json 'nobarrier' point).
-    y = jax.lax.optimization_barrier(x.astype(dt))
-    return y.astype(x.dtype)
+    # No optimization_barrier: pinning the fp8 value as the materialized
+    # buffer was measured WORSE (580.1 vol/s vs 604.5 baseline,
+    # r5_fp8act_results.json) — the barriers inhibit more fusion than the
+    # narrow buffers save. The plain convert pair lets XLA choose; it
+    # measured 614.3 vol/s (+1.6%, within tunnel noise).
+    return x.astype(dt).astype(x.dtype)
 
 
 def conv3d_parts(cfg: ConvConfig, features, kernel_size, strides=(1, 1, 1),
