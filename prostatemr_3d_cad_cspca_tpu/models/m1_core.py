@@ -74,6 +74,13 @@ class M1Core(nn.Module):
     # Rematerialize each SE block during backprop (jax.checkpoint): trades
     # ~30% extra forward FLOPs for dropping the largest activation tensors —
     # the TPU-native answer to growing batch/volume beyond HBM (SURVEY §7).
+    # Measured as a TRAIN-THROUGHPUT lever 2026-08-21 and REJECTED
+    # (benchmarks/r5_remat_results.json): b2 bf16 train step 310.7 ms off
+    # vs 342.5 ms on (-10%). The "recompute FLOPs are free at AI<<ridge"
+    # argument fails because recompute is itself HBM traffic — the SE
+    # block's forward re-reads its inputs and re-writes its internals, so
+    # remat trades saved-activation reads for an equal-or-larger byte
+    # stream. Stays a MEMORY trade only (its original purpose).
     remat: bool = False
     # Halo-sharded SPMD: exact cross-shard IN/SE statistics (see
     # ops.normalization.ShardedStats; set by parallel.halo.spatial_infer_m1).
